@@ -1,0 +1,167 @@
+"""Golden tests for LSS geometry + static-shape voxel scatter.
+
+Oracles are independent numpy/torch implementations of the math described in
+SURVEY.md §3.2 (frustum -> undo aug -> cam->ego -> BDA -> quantize -> scatter),
+mirroring reference ViewTransformerLSSBEVDepth.py:104-150 and
+ViewTransformerLSSVoxel.py:77-100.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from occformer_tpu.ops import (
+    compute_voxel_coords,
+    create_frustum,
+    gen_dx_bx,
+    get_geometry,
+    voxel_scatter,
+)
+from occformer_tpu.ops.scatter import voxel_scatter_lifted
+
+GRID = {
+    "xbound": [-51.2, 51.2, 0.8],
+    "ybound": [-51.2, 51.2, 0.8],
+    "zbound": [-5.0, 3.0, 0.5],
+    "dbound": [2.0, 58.0, 0.5],
+}
+
+
+def _numpy_geometry(frustum, rots, trans, intrins, post_rots, post_trans, bda):
+    B, N = trans.shape[:2]
+    D, fH, fW, _ = frustum.shape
+    pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
+    pts = np.einsum("bnij,bndhwj->bndhwi", np.linalg.inv(post_rots), pts)
+    pts = np.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], axis=-1)
+    comb = np.einsum("bnij,bnjk->bnik", rots, np.linalg.inv(intrins))
+    pts = np.einsum("bnij,bndhwj->bndhwi", comb, pts)
+    pts = pts + trans[:, :, None, None, None, :]
+    pts = np.einsum("bij,bndhwj->bndhwi", bda, pts)
+    return pts
+
+
+def _rand_geom_inputs(rng, B=2, N=3):
+    rots = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    # random small rotations
+    ang = rng.uniform(-0.3, 0.3, size=(B, N)).astype(np.float32)
+    rots[..., 0, 0] = np.cos(ang)
+    rots[..., 0, 1] = -np.sin(ang)
+    rots[..., 1, 0] = np.sin(ang)
+    rots[..., 1, 1] = np.cos(ang)
+    trans = rng.uniform(-2, 2, size=(B, N, 3)).astype(np.float32)
+    intrins = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    intrins[..., 0, 0] = 400.0
+    intrins[..., 1, 1] = 400.0
+    intrins[..., 0, 2] = 350.0
+    intrins[..., 1, 2] = 130.0
+    post_rots = np.tile(np.eye(3, dtype=np.float32) * 0.5, (B, N, 1, 1))
+    post_rots[..., 2, 2] = 1.0
+    post_trans = rng.uniform(-5, 5, size=(B, N, 3)).astype(np.float32)
+    post_trans[..., 2] = 0.0
+    bda = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    bda[:, 0, 0] = rng.choice([-1.0, 1.0], size=B) * 1.02
+    return rots, trans, intrins, post_rots, post_trans, bda
+
+
+def test_frustum_shape_and_values():
+    fr = create_frustum(GRID, (256, 704), 16)
+    assert fr.shape == (112, 16, 44, 3)
+    assert fr[0, 0, 0, 2] == 2.0
+    assert fr[-1, 0, 0, 2] == 57.5
+    assert fr[0, 0, -1, 0] == 703.0
+    assert fr[0, -1, 0, 1] == 255.0
+
+
+def test_get_geometry_matches_numpy_oracle(rng):
+    fr = create_frustum(GRID, (64, 96), 16)
+    rots, trans, intrins, post_rots, post_trans, bda = _rand_geom_inputs(rng)
+    ours = np.asarray(
+        get_geometry(jnp.asarray(fr), *(jnp.asarray(a) for a in
+                     (rots, trans, intrins, post_rots, post_trans, bda)))
+    )
+    ref = _numpy_geometry(fr, rots, trans, intrins, post_rots, post_trans, bda)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_get_geometry_kitti_3x4_intrinsics(rng):
+    fr = create_frustum(GRID, (64, 96), 16)
+    rots, trans, intrins, post_rots, post_trans, bda = _rand_geom_inputs(rng)
+    intrins4 = np.concatenate(
+        [intrins, rng.randn(2, 3, 3, 1).astype(np.float32)], axis=-1
+    )
+    ours = np.asarray(
+        get_geometry(jnp.asarray(fr), *(jnp.asarray(a) for a in
+                     (rots, trans, intrins4, post_rots, post_trans, bda)))
+    )
+    # oracle: subtract the shift column then use the 3x3 part
+    pts = fr[None, None] - post_trans[:, :, None, None, None, :]
+    pts = np.einsum("bnij,bndhwj->bndhwi", np.linalg.inv(post_rots), pts)
+    pts = np.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], axis=-1)
+    pts = pts - intrins4[:, :, :3, 3][:, :, None, None, None, :]
+    comb = np.einsum("bnij,bnjk->bnik", rots, np.linalg.inv(intrins4[:, :, :3, :3]))
+    pts = np.einsum("bnij,bndhwj->bndhwi", comb, pts)
+    pts = pts + trans[:, :, None, None, None, :]
+    ref = np.einsum("bij,bndhwj->bndhwi", bda, pts)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_voxel_coords_and_scatter_match_oracle(rng):
+    dx, bx, nx = gen_dx_bx(GRID["xbound"], GRID["ybound"], GRID["zbound"])
+    B, P, C = 2, 500, 8
+    geom = rng.uniform(-60, 60, size=(B, P, 3)).astype(np.float32)
+    geom[..., 2] = rng.uniform(-8, 6, size=(B, P))
+    feats = rng.randn(B, P, C).astype(np.float32)
+
+    coords, valid = compute_voxel_coords(jnp.asarray(geom), dx, bx, nx)
+    out = np.asarray(voxel_scatter(jnp.asarray(feats), coords, valid, nx))
+
+    # numpy oracle: quantize exactly like the reference then scatter-add
+    ref_coords = ((geom - (bx - dx / 2.0)) / dx).astype(np.int64)
+    ref = np.zeros((B, nx[0], nx[1], nx[2], C), np.float32)
+    for b in range(B):
+        for p in range(P):
+            cx, cy, cz = ref_coords[b, p]
+            if 0 <= cx < nx[0] and 0 <= cy < nx[1] and 0 <= cz < nx[2]:
+                ref[b, cx, cy, cz] += feats[b, p]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    assert np.asarray(valid).sum() > 0
+
+
+def test_voxel_scatter_lifted_equals_materialized(rng):
+    """Fused depth⊗ctx scatter == materialize-then-scatter."""
+    B, N, D, fH, fW, C = 1, 2, 4, 3, 5, 6
+    nx = (8, 8, 4)
+    depth = rng.rand(B, N, D, fH, fW).astype(np.float32)
+    ctx = rng.randn(B, N, fH, fW, C).astype(np.float32)
+    coords = rng.randint(-1, 9, size=(B, N, D, fH, fW, 3)).astype(np.int32)
+    valid = np.all((coords >= 0) & (coords < np.array(nx)), axis=-1)
+
+    fused = np.asarray(
+        voxel_scatter_lifted(
+            jnp.asarray(depth), jnp.asarray(ctx), jnp.asarray(coords),
+            jnp.asarray(valid), nx,
+        )
+    )
+    feats = (depth[..., None] * ctx[:, :, None]).reshape(B, -1, C)
+    flat_coords = coords.reshape(B, -1, 3)
+    flat_valid = valid.reshape(B, -1)
+    ref = np.asarray(
+        voxel_scatter(jnp.asarray(feats), jnp.asarray(flat_coords),
+                      jnp.asarray(flat_valid), nx)
+    )
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_voxel_scatter_gradients_flow(rng):
+    import jax
+
+    nx = (4, 4, 2)
+    feats = jnp.asarray(rng.randn(1, 20, 3).astype(np.float32))
+    coords = jnp.asarray(rng.randint(0, 4, size=(1, 20, 3)).astype(np.int32))
+    coords = coords.at[..., 2].set(coords[..., 2] % 2)
+    valid = jnp.ones((1, 20), bool)
+
+    def loss(f):
+        return jnp.sum(voxel_scatter(f, coords, valid, nx) ** 2)
+
+    g = jax.grad(loss)(feats)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
