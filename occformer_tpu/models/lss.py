@@ -1,0 +1,129 @@
+"""Lift-Splat-Shoot voxel view transformer (TPU-native LSS).
+
+Reference: projects/mmdet3d_plugin/occformer/image2bev/ViewTransformerLSSVoxel.py:12-121
+on top of ViewTransformerLSSBEVDepth.py:564-725.  The CUDA ``bev_pool`` scatter
+becomes the fused depth⊗context segment-sum scatter (ops/scatter.py); point
+filtering becomes static-shape masking; the Z axis is preserved, producing a
+channels-last ``[B, X, Y, Z, C]`` volume.
+
+Depth supervision: min-pool the sparse LiDAR depth map per downsample cell,
+one-hot over D bins, BCE on foreground cells in fp32 (reference :27-75).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import compute_voxel_coords, create_frustum, gen_dx_bx, get_geometry
+from ..ops.scatter import voxel_scatter_lifted
+from ..registry import NECKS
+from .depthnet import DepthNet, get_mlp_input
+
+
+@NECKS.register_module()
+class ViewTransformerLiftSplatShootVoxel(nn.Module):
+    """Image features + camera geometry -> 3D voxel feature volume.
+
+    __call__ input:
+      x:          [B, N, fH, fW, Cin]  image features (post neck)
+      rots, trans, intrins, post_rots, post_trans, bda: camera geometry
+    returns (volume [B, X, Y, Z, C], depth_prob [B*N, fH, fW, D])
+    """
+
+    grid_config: Dict
+    data_config: Dict
+    numC_input: int = 512
+    numC_Trans: int = 128
+    downsample: int = 16
+    cam_channels: int = 27
+    loss_depth_weight: float = 1.0
+    loss_depth_type: str = "bce"
+    use_dcn: bool = True
+    train: bool = False
+    dtype: Any = jnp.float32
+    # accepted for config parity
+    point_cloud_range: Optional[tuple] = None
+    vp_megvii: bool = False
+
+    def setup(self):
+        self.dx, self.bx, self.nx = gen_dx_bx(
+            self.grid_config["xbound"],
+            self.grid_config["ybound"],
+            self.grid_config["zbound"],
+        )
+        self.frustum = create_frustum(
+            self.grid_config, tuple(self.data_config["input_size"]), self.downsample
+        )
+        self.D = self.frustum.shape[0]
+        self.depth_net = DepthNet(
+            mid_channels=self.numC_input,
+            context_channels=self.numC_Trans,
+            depth_channels=self.D,
+            cam_channels=self.cam_channels,
+            use_dcn=self.use_dcn,
+            train=self.train,
+            dtype=self.dtype,
+            name="depth_net",
+        )
+
+    def __call__(self, x, rots, trans, intrins, post_rots, post_trans, bda):
+        B, N, fH, fW, Cin = x.shape
+        mlp_input = get_mlp_input(rots, trans, intrins, post_rots, post_trans, bda)
+        mlp_input = mlp_input.reshape(B * N, -1)
+
+        depth_digit, ctx = self.depth_net(x.reshape(B * N, fH, fW, Cin), mlp_input)
+        # fp32 island for the depth softmax (reference @force_fp32, SURVEY §2.5)
+        depth_prob = jax.nn.softmax(depth_digit.astype(jnp.float32), axis=-1)
+
+        geom = get_geometry(
+            jnp.asarray(self.frustum), rots, trans, intrins, post_rots, post_trans, bda
+        )  # [B, N, D, fH, fW, 3]
+        coords, valid = compute_voxel_coords(geom, self.dx, self.bx, self.nx)
+
+        depth_bn = depth_prob.reshape(B, N, fH, fW, self.D)
+        depth_bn = jnp.moveaxis(depth_bn, -1, 2)  # [B, N, D, fH, fW]
+        volume = voxel_scatter_lifted(
+            depth_bn.astype(self.dtype),
+            ctx.reshape(B, N, fH, fW, self.numC_Trans),
+            coords,
+            valid,
+            self.nx,
+        )
+        return volume, depth_prob
+
+    # ---- depth supervision -------------------------------------------------
+    def get_downsampled_gt_depth(self, gt_depths: jnp.ndarray) -> jnp.ndarray:
+        """[B, N, H, W] sparse depth -> one-hot [B*N*fH*fW, D] (min-pooled).
+
+        Reference: ViewTransformerLSSVoxel.py:27-52 — zeros (no LiDAR return)
+        are excluded from the min via a large sentinel; bins outside
+        [dbound_lo - step/2, dbound_hi) collapse to "no target" (all-zero row).
+        """
+        B, N, H, W = gt_depths.shape
+        ds = self.downsample
+        g = gt_depths.reshape(B * N, H // ds, ds, W // ds, ds)
+        g = g.transpose(0, 1, 3, 2, 4).reshape(-1, ds * ds)
+        g = jnp.where(g == 0.0, 1e5, g)
+        g = jnp.min(g, axis=-1)
+        d0, _, dstep = self.grid_config["dbound"]
+        g = (g - (d0 - dstep / 2.0)) / dstep
+        g = jnp.where((g < self.D + 1) & (g >= 0.0), g, 0.0)
+        onehot = jax.nn.one_hot(g.astype(jnp.int32), self.D + 1)[:, 1:]
+        return onehot
+
+    def get_depth_loss(self, gt_depths: jnp.ndarray, depth_prob: jnp.ndarray) -> jnp.ndarray:
+        """BCE depth loss over foreground cells, fp32 (reference :54-75)."""
+        labels = self.get_downsampled_gt_depth(gt_depths)
+        preds = depth_prob.reshape(-1, self.D).astype(jnp.float32)
+        fg = jnp.max(labels, axis=1) > 0.0
+        eps = 1e-12  # torch binary_cross_entropy clamps log at -100
+        bce = -(labels * jnp.log(jnp.clip(preds, eps)) +
+                (1.0 - labels) * jnp.log(jnp.clip(1.0 - preds, eps)))
+        bce = jnp.clip(bce, 0.0, 100.0)
+        per_cell = jnp.sum(bce, axis=1) * fg.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(fg.astype(jnp.float32)), 1.0)
+        return self.loss_depth_weight * jnp.sum(per_cell) / denom

@@ -1,16 +1,21 @@
-"""Test bootstrap: force an 8-device virtual CPU mesh before jax imports.
+"""Test bootstrap: force an 8-device virtual CPU mesh.
 
-Multi-host/multi-chip logic is validated on CPU (SURVEY.md §4 implication 5);
-the real-chip path is exercised by bench.py and the driver's entry checks.
+The container's sitecustomize imports jax and registers the axon TPU plugin
+before any test code runs, so env vars are too late — use jax.config updates,
+which take effect because backends initialize lazily.  Multi-host/multi-chip
+logic is validated on CPU (SURVEY.md §4 implication 5); the real-chip path is
+exercised by bench.py and the driver's entry checks.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,56 @@
+"""End-to-end forward smoke test on a tiny OccupancyFormer (CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from occformer_tpu.models.detector import OccupancyFormer
+
+import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_cfg.model_cfg()
+    model = OccupancyFormer(
+        img_backbone=cfg["img_backbone"],
+        img_neck=cfg["img_neck"],
+        img_view_transformer=cfg["img_view_transformer"],
+        img_bev_encoder_backbone=cfg["img_bev_encoder_backbone"],
+        img_bev_encoder_neck=cfg["img_bev_encoder_neck"],
+        pts_bbox_head=cfg["pts_bbox_head"],
+    )
+    batch = tiny_cfg.make_batch(np.random.RandomState(0))
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return model, variables, batch
+
+
+def test_forward_shapes(model_and_params):
+    model, variables, batch = model_and_params
+    out = jax.jit(lambda v, b: model.apply(v, b))(variables, batch)
+    X, Y, Z = tiny_cfg.VOXEL_GRID
+    L = 3 + 1  # decoder layers + initial proposal
+    Q = 8
+    C = tiny_cfg.NUM_CLASSES
+    assert out["cls_preds"].shape == (L, 1, Q, C + 1)
+    assert out["mask_preds"].shape == (L, 1, Q, X, Y, Z)
+    D = 8
+    fH, fW = (s // tiny_cfg.DOWNSAMPLE for s in tiny_cfg.INPUT_SIZE)
+    assert out["depth_prob"].shape == (tiny_cfg.NUM_CAMS, fH, fW, D)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # depth distribution sums to one
+    np.testing.assert_allclose(
+        np.asarray(out["depth_prob"]).sum(-1), 1.0, rtol=1e-5
+    )
+
+
+def test_format_results_prob_simplex(model_and_params):
+    from occformer_tpu.models.mask2former_head import format_results
+
+    model, variables, batch = model_and_params
+    out = model.apply(variables, batch)
+    voxels = format_results(out["cls_preds"][-1], out["mask_preds"][-1])
+    X, Y, Z = tiny_cfg.VOXEL_GRID
+    assert voxels.shape == (1, X, Y, Z, tiny_cfg.NUM_CLASSES)
+    assert np.isfinite(np.asarray(voxels)).all()
