@@ -1,0 +1,54 @@
+"""Benchmark: nuScenes R50 6x256x704 inference frames/sec on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no FPS (SURVEY.md §6); its local benchmark
+tool (tools/analysis_tools/benchmark.py) measures ~4-5 FPS for OccFormer-R50
+on a single A100-class GPU per community reports.  We use 4.5 FPS as the
+A100 reference estimate; BASELINE.json's north star is >=2x that per chip.
+vs_baseline = measured_fps / 4.5 (so 2.0 == the north-star target).
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+A100_BASELINE_FPS = 4.5
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import entry
+
+    fn, (variables, batch) = entry()
+    jfn = jax.jit(fn)
+
+    out = jfn(variables, batch)
+    out.block_until_ready()
+    for _ in range(WARMUP):
+        jfn(variables, batch).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = jfn(variables, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frames = ITERS * batch["imgs"].shape[0]
+    fps = frames / dt
+    print(json.dumps({
+        "metric": "nusc_r50_256x704_infer_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Per-host sharded data loading with static-shape collation.
+
+Replaces the reference's DataLoader + DistributedGroupSampler stack
+(datasets/builder.py:19-101, datasets/samplers/group_sampler.py:14): each
+host iterates its contiguous shard of an epoch-seeded permutation; samples
+are collated into fixed-capacity numpy buffers (LiDAR points padded to
+``max_points`` with a validity mask) so the jitted train step never sees a
+dynamic shape.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def pad_points(points: np.ndarray, max_points: int):
+    """[P, D] -> ([max_points, D], [max_points] valid).  Overflow is dropped
+    uniformly at random (never biased to the scan order)."""
+    P = points.shape[0]
+    out = np.zeros((max_points, points.shape[1]), np.float32)
+    valid = np.zeros((max_points,), bool)
+    if P > max_points:
+        sel = np.random.choice(P, max_points, replace=False)
+        out[:] = points[sel]
+        valid[:] = True
+    else:
+        out[:P] = points
+        valid[:P] = True
+    return out, valid
+
+
+def collate_batch(
+    samples: List[Dict],
+    max_points: int = 35000,
+    pc_range: Optional[Sequence[float]] = None,
+) -> Dict[str, np.ndarray]:
+    """Stack per-sample pipeline outputs into the train-step batch dict."""
+    batch: Dict[str, Any] = {}
+    for key in ("imgs", "rots", "trans", "intrins", "post_rots", "post_trans",
+                "bda", "gt_depth"):
+        if key in samples[0] and samples[0][key] is not None:
+            batch[key] = np.stack([s[key] for s in samples]).astype(np.float32)
+    if samples[0].get("gt_occ") is not None:
+        batch["gt_occ"] = np.stack([s["gt_occ"] for s in samples]).astype(np.int32)
+    if samples[0].get("points_occ") is not None:
+        xyz_l, valid_l, label_l = [], [], []
+        pcr = np.asarray(
+            pc_range if pc_range is not None else samples[0]["pc_range"], np.float32
+        )
+        for s in samples:
+            pts = s["points_occ"]
+            padded, valid = pad_points(pts, max_points)
+            # normalize xyz to [0, 1] over the point-cloud range, the form the
+            # loss consumes (mask2former_nusc_occ.py:233-236)
+            xyz = (padded[:, :3] - pcr[:3]) / (pcr[3:] - pcr[:3])
+            xyz_l.append(xyz)
+            valid_l.append(valid)
+            label_l.append(padded[:, -1])
+        batch["lidar_xyz"] = np.stack(xyz_l)
+        batch["lidar_valid"] = np.stack(valid_l)
+        batch["lidar_label"] = np.stack(label_l).astype(np.int32)
+    return batch
+
+
+class ShardedLoader:
+    """Epoch-seeded shuffled iterator over this host's shard, with a
+    background prefetch thread."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        max_points: int = 35000,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        collate_fn: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.max_points = max_points
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn or (
+            lambda s: collate_batch(s, max_points=self.max_points)
+        )
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Epoch-seeded reshuffle (group_sampler.py epoch semantics)."""
+        self.epoch = epoch
+
+    def __len__(self):
+        per_host = len(self.dataset) // self.num_hosts
+        if self.drop_last:
+            return per_host // self.batch_size
+        return -(-per_host // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+        per_host = n // self.num_hosts
+        return order[self.host_id * per_host : (self.host_id + 1) * per_host]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idxs = self._indices()
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in range(nb):
+                    chunk = idxs[b * self.batch_size : (b + 1) * self.batch_size]
+                    if len(chunk) == 0:
+                        break
+                    samples = [self.dataset[int(i)] for i in chunk]
+                    q.put(self.collate_fn(samples))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def build_dataloader(dataset, samples_per_gpu=1, shuffle=True, seed=0,
+                     num_hosts=1, host_id=0, max_points=35000, **kwargs):
+    return ShardedLoader(
+        dataset, batch_size=samples_per_gpu, shuffle=shuffle, seed=seed,
+        num_hosts=num_hosts, host_id=host_id, max_points=max_points,
+    )

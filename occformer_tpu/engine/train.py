@@ -1,0 +1,141 @@
+"""Training step: one jittable function over a data-parallel mesh.
+
+Replaces the reference's EpochBasedRunner + MMDistributedDataParallel stack
+(apis/mmdet_train.py:29-199): the train step is a pure function
+(params, batch, rng) -> (params', metrics) compiled once by XLA; data
+parallelism is expressed by sharding the batch over the mesh's ``data`` axis
+(jax.sharding) — gradient all-reduce is inserted by the SPMD partitioner, the
+ICI replacement for NCCL DDP (SURVEY.md §2.5).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses.mask2former_loss import MaskLossConfig, mask2former_loss
+from ..models.lss import depth_bce_loss
+from ..utils.semkitti import kitti_class_weights, kitti_sample_weights
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def build_loss_cfg(head_cfg: Dict, train_cfg: Dict) -> MaskLossConfig:
+    """Derive the static loss config from the model config dicts.
+
+    Mirrors the head __init__ bookkeeping: KITTI heads replace the config
+    class_weight with 1/log(freq) weights (mask2former_occ.py:133-142); nusc
+    heads keep the config list (mask2former_nusc_occ.py:134).
+    """
+    head_cfg = dict(head_cfg)
+    train_cfg = dict(train_cfg or {})
+    num_classes = head_cfg.get("num_occupancy_classes", 20)
+    is_nusc = head_cfg.get("type", "").startswith("Mask2FormerNusc")
+    loss_cls = dict(head_cfg.get("loss_cls") or {})
+    if is_nusc:
+        class_weight = tuple(loss_cls.get("class_weight", (1.0,) * num_classes + (0.1,)))
+        sample_weights = None
+    else:
+        bg = loss_cls.get("class_weight", [1.0] * num_classes + [0.1])[-1]
+        class_weight = tuple(kitti_class_weights(bg).tolist())
+        sample_weights = tuple(kitti_sample_weights().tolist())
+
+    assigner = dict(train_cfg.get("assigner") or {})
+    return MaskLossConfig(
+        num_classes=num_classes,
+        num_points=train_cfg.get("num_points", 12544),
+        oversample_ratio=train_cfg.get("oversample_ratio", 3.0),
+        importance_sample_ratio=train_cfg.get("importance_sample_ratio", 0.75),
+        cls_loss_weight=loss_cls.get("loss_weight", 2.0),
+        mask_loss_weight=(head_cfg.get("loss_mask") or {}).get("loss_weight", 5.0),
+        dice_loss_weight=(head_cfg.get("loss_dice") or {}).get("loss_weight", 5.0),
+        cls_cost_weight=(assigner.get("cls_cost") or {}).get("weight", 2.0),
+        mask_cost_weight=(assigner.get("mask_cost") or {}).get("weight", 5.0),
+        dice_cost_weight=(assigner.get("dice_cost") or {}).get("weight", 5.0),
+        dice_eps=(head_cfg.get("loss_dice") or {}).get("eps", 1.0),
+        align_corners=not is_nusc,  # see MaskLossConfig docstring
+        class_weight=class_weight,
+        sample_weights=sample_weights,
+        sample_weight_gamma=head_cfg.get("sample_weight_gamma", 0.25),
+        use_lidar_points=is_nusc,
+        point_cloud_range=tuple(head_cfg["point_cloud_range"])
+        if head_cfg.get("point_cloud_range") else None,
+    )
+
+
+def build_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_cfg: MaskLossConfig,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: imgs/rots/trans/intrins/post_rots/post_trans/bda (+ gt_depth
+    [B,N,H,W], gt_occ [B,X,Y,Z] int, optional lidar_xyz [B,P,3] in [0,1] and
+    lidar_valid [B,P]).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        drop_rng, loss_rng = jax.random.split(rng)
+        out, mutated = model.apply(
+            variables, batch, mutable=["batch_stats"], rngs={"dropout": drop_rng}
+        )
+        losses = mask2former_loss(
+            loss_rng,
+            out["cls_preds"],
+            out["mask_preds"],
+            batch["gt_occ"],
+            loss_cfg,
+            lidar_xyz=batch.get("lidar_xyz"),
+            lidar_valid=batch.get("lidar_valid"),
+        )
+        vt_cfg = dict(model.img_view_transformer)
+        losses["loss_depth"] = depth_bce_loss(
+            batch["gt_depth"], out["depth_prob"],
+            dict(vt_cfg["grid_config"]), vt_cfg.get("downsample", 16),
+            vt_cfg.get("loss_depth_weight", 1.0),
+        )
+        total = sum(losses.values())
+        return total, (losses, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=new_params,
+                       batch_stats=new_bs, opt_state=new_opt),
+            metrics,
+        )
+
+    return train_step
+
+
+def init_train_state(model, tx, batch, rng) -> TrainState:
+    variables = model.init(rng, batch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )

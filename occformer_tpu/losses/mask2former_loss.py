@@ -1,0 +1,337 @@
+"""Mask2Former occupancy training loss, fully static-shape.
+
+Re-derivation of the reference's target assignment + deep-supervision losses
+(mask2former/mask2former_occ.py:224-444 and mask2former_nusc_occ.py:196-455)
+for XLA:
+
+* GT is represented as one mask slot per class: ``gt_masks [B, C, X, Y, Z]``
+  with a validity bit per slot — exactly ``preprocess_occupancy_gt``
+  (base/mmdet_utils.py:426-473) without dynamic unique().
+* Hungarian matching runs per (layer, sample) through one host callback over
+  a fixed [Q, G] cost buffer (losses/matching.py).
+* Multinomial-without-replacement becomes Gumbel top-k; per-iteration random
+  sampling gamma (mask2former_occ.py:160-166) consumes an explicit PRNG key.
+* All reductions are weighted sums over static buffers; invalid slots carry
+  zero weight, reproducing the reference's dynamic filtering arithmetic.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import point_sample_3d
+from .matching import hungarian_match, mask_matching_cost
+from .point_sampling import (
+    gumbel_topk_sample,
+    sample_with_frequencies,
+    uncertainty_sample_coords,
+    unravel_3d,
+)
+from .seg_losses import (
+    binary_cross_entropy_with_logits,
+    dice_loss,
+    softmax_cross_entropy,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskLossConfig:
+    num_classes: int
+    num_points: int = 12544 * 4
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    cls_loss_weight: float = 2.0
+    mask_loss_weight: float = 5.0
+    dice_loss_weight: float = 5.0
+    cls_cost_weight: float = 2.0
+    mask_cost_weight: float = 5.0
+    dice_cost_weight: float = 5.0
+    dice_eps: float = 1.0
+    # nusc point_sample calls leave align_corners at torch's default False
+    # (mask2former_nusc_occ.py:244-250, :404-410); KITTI passes
+    # self.align_corners=True (mask2former_occ.py:264, :422)
+    align_corners: bool = True
+    padding_mode: str = "border"
+    # class_weight[num_classes + 1]; background weight last
+    class_weight: Tuple[float, ...] = ()
+    # per-class sampling weights (KITTI frequency sampling); None for nusc
+    sample_weights: Optional[Tuple[float, ...]] = None
+    sample_weight_gamma: Any = 0.25
+    use_lidar_points: bool = False
+    point_cloud_range: Optional[Tuple[float, ...]] = None
+
+
+def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
+    """[B, X, Y, Z] labels -> (masks [B, G, X, Y, Z] f32, labels [G], valid [B, G]).
+
+    G = num_classes; slot g is the binary mask of class g; a slot is valid iff
+    the class appears (mirrors preprocess_occupancy_gt keeping only labels
+    < num_classes — 255/noise is excluded automatically).
+    """
+    classes = jnp.arange(num_classes, dtype=gt_occ.dtype)
+    masks = (gt_occ[:, None] == classes[None, :, None, None, None])
+    valid = jnp.any(masks, axis=(2, 3, 4))
+    return masks.astype(jnp.float32), classes.astype(jnp.int32), valid
+
+
+def _resolve_sample_weights(rng, cfg: MaskLossConfig) -> Optional[jnp.ndarray]:
+    """Per-class sampling weights with the per-iteration random gamma
+    (mask2former_occ.py:160-166)."""
+    if cfg.sample_weights is None:
+        return None
+    base = jnp.asarray(cfg.sample_weights, jnp.float32)
+    if isinstance(cfg.sample_weight_gamma, (list, tuple)):
+        lo, hi = cfg.sample_weight_gamma
+        gamma = jax.random.uniform(rng, (), jnp.float32, lo, hi)
+    else:
+        gamma = jnp.float32(cfg.sample_weight_gamma)
+    return base ** gamma
+
+
+def _matching_points_nusc(rng, lidar_xyz, lidar_valid, cfg: MaskLossConfig):
+    """num_points coords in [0,1]: half randomly-chosen LiDAR points, half
+    uniform (mask2former_nusc_occ.py:232-241)."""
+    k1 = cfg.num_points // 2
+    perm = gumbel_topk_sample(rng, lidar_valid.astype(jnp.float32), k1)
+    chosen = lidar_xyz[perm]  # [k1, 3]
+    chosen_valid = lidar_valid[perm]
+    r1, r2 = jax.random.split(jax.random.fold_in(rng, 1))
+    rand1 = jax.random.uniform(r1, (k1, 3), jnp.float32)
+    pts = jnp.where(chosen_valid[:, None], chosen, rand1)
+    rand2 = jax.random.uniform(r2, (cfg.num_points - k1, 3), jnp.float32)
+    return jnp.concatenate([pts, rand2], axis=0)
+
+
+def _loss_single_sample(
+    rng,
+    cls_score: jnp.ndarray,    # [Q, C+1]
+    mask_pred: jnp.ndarray,    # [Q, X, Y, Z]
+    gt_masks: jnp.ndarray,     # [G, X, Y, Z]
+    gt_labels: jnp.ndarray,    # [G]
+    gt_valid: jnp.ndarray,     # [G]
+    lidar_xyz: Optional[jnp.ndarray],    # [P, 3] in [0,1] or None
+    lidar_valid: Optional[jnp.ndarray],  # [P] or None
+    sample_weights: Optional[jnp.ndarray],
+    cfg: MaskLossConfig,
+):
+    """Targets + per-sample partial sums for one (layer, sample)."""
+    Q = cls_score.shape[0]
+    G = gt_masks.shape[0]
+    r_match, r_sup, r_sup2 = jax.random.split(rng, 3)
+
+    # ---- 1. matching points & cost --------------------------------------
+    if cfg.use_lidar_points:
+        pts = _matching_points_nusc(r_match, lidar_xyz, lidar_valid, cfg)
+        mask_pts_pred = point_sample_3d(
+            mask_pred.transpose(1, 2, 3, 0)[None], pts[None],
+            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+        )[0].T  # [Q, P]
+        gt_pts = point_sample_3d(
+            gt_masks.transpose(1, 2, 3, 0)[None], pts[None],
+            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+        )[0].T  # [G, P] soft
+    else:
+        idx, coords = sample_with_frequencies(
+            r_match, gt_masks, gt_labels, gt_valid, sample_weights, cfg.num_points
+        )
+        mask_pts_pred = point_sample_3d(
+            mask_pred.transpose(1, 2, 3, 0)[None], coords[None],
+            align_corners=cfg.align_corners,
+        )[0].T
+        gt_pts = jnp.take(gt_masks.reshape(G, -1), idx, axis=1)
+
+    cost = mask_matching_cost(
+        cls_score, mask_pts_pred, gt_labels, gt_pts, gt_valid,
+        cls_weight=cfg.cls_cost_weight, mask_weight=cfg.mask_cost_weight,
+        dice_weight=cfg.dice_cost_weight, dice_eps=cfg.dice_eps,
+    )
+    assign_q = hungarian_match(cost, gt_valid)  # [G], -1 for invalid
+
+    # ---- 2. classification targets --------------------------------------
+    class_weight = jnp.asarray(cfg.class_weight, jnp.float32)
+    safe_q = jnp.where(assign_q >= 0, assign_q, Q)  # overflow slot
+    labels = jnp.full((Q + 1,), cfg.num_classes, jnp.int32)
+    labels = labels.at[safe_q].set(jnp.where(gt_valid, gt_labels, cfg.num_classes))
+    labels = labels[:Q]
+    cls_avg = jnp.sum(class_weight[labels])
+    cls_num = jnp.sum(-jax.nn.log_softmax(cls_score.astype(jnp.float32), -1)[
+        jnp.arange(Q), labels] * class_weight[labels])
+
+    # per-gt weights: class weight of the matched class, 0 if invalid
+    gt_w = jnp.where(gt_valid, class_weight[gt_labels], 0.0)
+
+    # ---- 3. supervision points (no grad, reference torch.no_grad) -------
+    # positive predicted masks aligned to gt slots
+    pos_masks = mask_pred[jnp.clip(assign_q, 0, Q - 1)]  # [G, X, Y, Z]
+    num_sampled = int(cfg.num_points * cfg.oversample_ratio)
+    if cfg.use_lidar_points:
+        # candidates: LiDAR points + random fill (mmdet_utils.py:138-177)
+        perm = gumbel_topk_sample(r_sup, lidar_valid.astype(jnp.float32),
+                                  min(num_sampled, lidar_xyz.shape[0]))
+        cand = lidar_xyz[perm]
+        cand_valid = lidar_valid[perm]
+        rr = jax.random.uniform(jax.random.fold_in(r_sup, 7),
+                                (cand.shape[0], 3), jnp.float32)
+        cand = jnp.where(cand_valid[:, None], cand, rr)
+        if num_sampled > cand.shape[0]:
+            extra = jax.random.uniform(
+                jax.random.fold_in(r_sup, 8),
+                (num_sampled - cand.shape[0], 3), jnp.float32)
+            cand = jnp.concatenate([cand, extra], axis=0)
+        cand = jnp.broadcast_to(cand[None], (G,) + cand.shape)
+        cand_logits = point_sample_3d(
+            pos_masks[..., None], cand, align_corners=False,
+            padding_mode=cfg.padding_mode,
+        )[..., 0]  # [G, S]  (reference samples with default align_corners)
+        sup_coords = uncertainty_sample_coords(
+            r_sup2, cand, jax.lax.stop_gradient(cand_logits),
+            cfg.num_points, cfg.importance_sample_ratio,
+        )
+        sup_pred = point_sample_3d(
+            pos_masks[..., None], sup_coords,
+            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+        )[..., 0]
+        sup_tgt = point_sample_3d(
+            gt_masks[..., None], sup_coords,
+            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+        )[..., 0]
+        sup_tgt = jax.lax.stop_gradient(sup_tgt)
+        # nusc mask loss: unweighted points, avg = sum(gt_w) * num_points
+        mask_num = jnp.sum(
+            _bce_elem(sup_pred, sup_tgt) * (gt_w[:, None] > 0)
+        )
+        mask_avg = jnp.sum(gt_w) * cfg.num_points
+    else:
+        # frequency + uncertainty importance sampling (mmdet_utils.py:179-246)
+        vox_shape = gt_masks.shape[1:]
+        pred_same_grid = tuple(mask_pred.shape[1:]) == tuple(vox_shape)
+        w = sample_weights[gt_labels] * gt_valid.astype(jnp.float32)
+        vox_w = jnp.einsum("g,gxyz->xyz", w, gt_masks).reshape(-1)
+        keys = jax.random.split(r_sup, G)
+        cand_idx = jax.vmap(lambda k: gumbel_topk_sample(k, vox_w, num_sampled))(keys)
+
+        def idx_to_coords(idx):
+            c = unravel_3d(idx, vox_shape).astype(jnp.float32)
+            return c / jnp.asarray([s - 1 for s in vox_shape], jnp.float32)
+
+        def sample_pred(coords):
+            return point_sample_3d(
+                pos_masks[..., None], coords, align_corners=cfg.align_corners,
+            )[..., 0]
+
+        if pred_same_grid:
+            flat_pos = pos_masks.reshape(G, -1)
+            cand_logits = jnp.take_along_axis(flat_pos, cand_idx, axis=1)
+        else:
+            # pred grid differs from GT grid (KITTI 128³ preds vs 256³ labels):
+            # trilinearly sample pred logits at the GT-grid coords
+            # (mmdet_utils.py:214-217)
+            cand_logits = sample_pred(idx_to_coords(cand_idx))
+        n_unc = int(cfg.importance_sample_ratio * cfg.num_points)
+        n_rand = cfg.num_points - n_unc
+        from .point_sampling import uncertainty_topk
+        top = uncertainty_topk(jax.lax.stop_gradient(cand_logits), n_unc)
+        sup_idx = jnp.take_along_axis(cand_idx, top, axis=1)
+        if n_rand > 0:
+            uni_w = jnp.einsum("g,gxyz->xyz", gt_valid.astype(jnp.float32),
+                               gt_masks).reshape(-1)
+            keys2 = jax.random.split(r_sup2, G)
+            rand_idx = jax.vmap(lambda k: gumbel_topk_sample(k, uni_w, n_rand))(keys2)
+            sup_idx = jnp.concatenate([sup_idx, rand_idx], axis=1)
+        if pred_same_grid:
+            sup_pred = jnp.take_along_axis(pos_masks.reshape(G, -1), sup_idx, axis=1)
+        else:
+            sup_pred = sample_pred(idx_to_coords(sup_idx))
+        # targets always gathered exactly from the GT grid (loss_single :415-419)
+        sup_tgt = jnp.take_along_axis(gt_masks.reshape(G, -1), sup_idx, axis=1)
+        sup_tgt = jax.lax.stop_gradient(sup_tgt)
+        # kitti mask loss: per-point weights = gt_w (mask2former_occ.py:430-443)
+        mask_num = jnp.sum(_bce_elem(sup_pred, sup_tgt) * gt_w[:, None])
+        mask_avg = jnp.sum(gt_w) * cfg.num_points
+
+    # dice partial sums (per-row weighted)
+    pred_sig = jax.nn.sigmoid(sup_pred.astype(jnp.float32))
+    a = jnp.sum(pred_sig * sup_tgt, axis=-1)
+    b = jnp.sum(pred_sig, axis=-1) + jnp.sum(sup_tgt, axis=-1)
+    dice_rows = 1.0 - (2 * a + cfg.dice_eps) / (b + cfg.dice_eps)
+    dice_num = jnp.sum(dice_rows * gt_w)
+    dice_avg = jnp.sum(gt_w)
+
+    return dict(
+        cls_num=cls_num, cls_avg=cls_avg,
+        mask_num=mask_num, mask_avg=mask_avg,
+        dice_num=dice_num, dice_avg=dice_avg,
+    )
+
+
+def _bce_elem(logits, target):
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    return jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def mask2former_loss(
+    rng: jax.Array,
+    cls_preds: jnp.ndarray,   # [L, B, Q, C+1]
+    mask_preds: jnp.ndarray,  # [L, B, Q, X, Y, Z]
+    gt_occ: jnp.ndarray,      # [B, X', Y', Z'] int labels at pred resolution
+    cfg: MaskLossConfig,
+    lidar_xyz: Optional[jnp.ndarray] = None,    # [B, P, 3] in [0, 1]
+    lidar_valid: Optional[jnp.ndarray] = None,  # [B, P]
+) -> Dict[str, jnp.ndarray]:
+    """Deep-supervision loss over all decoder layers.
+
+    gt_occ must already be at the mask_pred resolution for the KITTI gather
+    path; for nusc the gt grid can differ (point-sampled supervision).
+    Returns a dict of named scalars (d{i}.loss_* for intermediate layers,
+    loss_* for the final one), mirroring reference loss bookkeeping
+    (mask2former_occ.py:324-338).
+    """
+    L, B = cls_preds.shape[:2]
+    gt_masks, gt_labels, gt_valid = preprocess_gt(gt_occ, cfg.num_classes)
+    sw_rng, rng = jax.random.split(rng)
+    sample_weights = _resolve_sample_weights(sw_rng, cfg)
+
+    def one(l_rng, cls_l, mask_l):
+        keys = jax.random.split(l_rng, B)
+
+        def per_sample(k, cs, mp, gm, gv, lx, lv):
+            return _loss_single_sample(
+                k, cs, mp, gm, gt_labels, gv, lx, lv, sample_weights, cfg
+            )
+
+        if cfg.use_lidar_points:
+            parts = jax.vmap(per_sample)(keys, cls_l, mask_l, gt_masks,
+                                         gt_valid, lidar_xyz, lidar_valid)
+        else:
+            parts = jax.vmap(
+                lambda k, cs, mp, gm, gv: _loss_single_sample(
+                    k, cs, mp, gm, gt_labels, gv, None, None, sample_weights, cfg
+                )
+            )(keys, cls_l, mask_l, gt_masks, gt_valid)
+        eps = jnp.finfo(jnp.float32).eps
+        loss_cls = cfg.cls_loss_weight * jnp.sum(parts["cls_num"]) / jnp.maximum(
+            jnp.sum(parts["cls_avg"]), eps)
+        loss_mask = cfg.mask_loss_weight * jnp.sum(parts["mask_num"]) / jnp.maximum(
+            jnp.sum(parts["mask_avg"]), eps)
+        loss_dice = cfg.dice_loss_weight * jnp.sum(parts["dice_num"]) / jnp.maximum(
+            jnp.sum(parts["dice_avg"]), eps)
+        return loss_cls, loss_mask, loss_dice
+
+    losses: Dict[str, jnp.ndarray] = {}
+    layer_keys = jax.random.split(rng, L)
+    for l in range(L):
+        lc, lm, ld = one(layer_keys[l], cls_preds[l], mask_preds[l])
+        if l == L - 1:
+            losses["loss_cls"] = lc
+            losses["loss_mask"] = lm
+            losses["loss_dice"] = ld
+        else:
+            losses[f"d{l}.loss_cls"] = lc
+            losses[f"d{l}.loss_mask"] = lm
+            losses[f"d{l}.loss_dice"] = ld
+    return losses

@@ -82,7 +82,12 @@ def _lsa_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
 
 
 def hungarian_match(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
-    """[..., Q, G] cost + [..., G] valid -> [..., G] assigned query (-1 invalid)."""
+    """[..., Q, G] cost + [..., G] valid -> [..., G] assigned query (-1 invalid).
+
+    The cost is detached first — assignment is non-differentiable, exactly the
+    reference's ``cost.detach().cpu()`` (mask_hungarian_assigner.py:111).
+    """
+    cost = jax.lax.stop_gradient(cost)
     out_shape = jax.ShapeDtypeStruct(cost.shape[:-2] + (cost.shape[-1],), jnp.int32)
     return jax.pure_callback(
         _lsa_host, out_shape, cost, gt_valid, vmap_method="broadcast_all"

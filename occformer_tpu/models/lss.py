@@ -24,6 +24,41 @@ from ..registry import NECKS
 from .depthnet import DepthNet, get_mlp_input
 
 
+def downsampled_gt_depth(gt_depths, grid_config, downsample, D):
+    """[B, N, H, W] sparse depth -> one-hot [B*N*fH*fW, D] (min-pooled).
+
+    Pure-function twin of the module method (reference
+    ViewTransformerLSSVoxel.py:27-52) so the train step can compute the depth
+    loss without a second module apply.
+    """
+    B, N, H, W = gt_depths.shape
+    g = gt_depths.reshape(B * N, H // downsample, downsample,
+                          W // downsample, downsample)
+    g = g.transpose(0, 1, 3, 2, 4).reshape(-1, downsample * downsample)
+    g = jnp.where(g == 0.0, 1e5, g)
+    g = jnp.min(g, axis=-1)
+    d0, _, dstep = grid_config["dbound"]
+    g = (g - (d0 - dstep / 2.0)) / dstep
+    g = jnp.where((g < D + 1) & (g >= 0.0), g, 0.0)
+    return jax.nn.one_hot(g.astype(jnp.int32), D + 1)[:, 1:]
+
+
+def depth_bce_loss(gt_depths, depth_prob, grid_config, downsample,
+                   weight: float = 1.0):
+    """BCE depth loss over foreground cells, fp32 (reference :54-75)."""
+    D = depth_prob.shape[-1]
+    labels = downsampled_gt_depth(gt_depths, grid_config, downsample, D)
+    preds = depth_prob.reshape(-1, D).astype(jnp.float32)
+    fg = jnp.max(labels, axis=1) > 0.0
+    eps = 1e-12
+    bce = -(labels * jnp.log(jnp.clip(preds, eps)) +
+            (1.0 - labels) * jnp.log(jnp.clip(1.0 - preds, eps)))
+    bce = jnp.clip(bce, 0.0, 100.0)
+    per_cell = jnp.sum(bce, axis=1) * fg.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(fg.astype(jnp.float32)), 1.0)
+    return weight * jnp.sum(per_cell) / denom
+
+
 @NECKS.register_module()
 class ViewTransformerLiftSplatShootVoxel(nn.Module):
     """Image features + camera geometry -> 3D voxel feature volume.

@@ -1,0 +1,119 @@
+"""Data-layer tests: voxelizer vs reference algorithm oracle, BDA matrices,
+image-aug homography, depth projection, collation."""
+import numpy as np
+import pytest
+
+from occformer_tpu.data.voxelize import (
+    bda_matrix,
+    majority_vote_voxelize,
+    voxel_transform,
+)
+from occformer_tpu.data.transforms import img_transform_matrices, get_rot
+from occformer_tpu.data.loader import collate_batch, pad_points
+
+
+def _oracle_voxelize(points, labels, grid_size, pcr, empty_id):
+    """Literal re-implementation of the reference numba kernel semantics
+    (loading_nusc_occ.py:97-138) in slow python."""
+    grid_size = np.asarray(grid_size)
+    pcr = np.asarray(pcr, np.float64)
+    vs = (pcr[3:] - pcr[:3]) / grid_size
+    eps = 1e-5
+    pts = np.clip(points[:, :3], pcr[:3], pcr[3:] - eps)
+    idx = np.floor((pts - pcr[:3]) / vs).astype(np.int64)
+    out = np.full(tuple(grid_size), empty_id, np.uint8)
+    votes = {}
+    for i in range(len(idx)):
+        key = tuple(idx[i])
+        votes.setdefault(key, np.zeros(256, np.int64))[int(labels[i])] += 1
+    for key, counter in votes.items():
+        out[key] = int(np.argmax(counter))
+    return out
+
+
+def test_majority_vote_voxelize_matches_oracle(rng):
+    grid = (8, 8, 4)
+    pcr = [-4, -4, -2, 4, 4, 2]
+    pts = rng.uniform(-5, 5, size=(500, 3)).astype(np.float32)
+    labels = rng.randint(0, 18, 500)
+    ours = majority_vote_voxelize(pts, labels, grid, pcr, empty_id=17)
+    ref = _oracle_voxelize(pts, labels, grid, pcr, empty_id=17)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_bda_matrix_flips():
+    m = bda_matrix(0.0, True, False, False)
+    np.testing.assert_allclose(m, np.diag([-1.0, 1.0, 1.0]))
+    m = bda_matrix(0.0, True, True, True)
+    np.testing.assert_allclose(m, np.diag([-1.0, -1.0, -1.0]))
+    m = bda_matrix(90.0, False, False, False)
+    np.testing.assert_allclose(m @ np.array([1.0, 0, 0]), [0, 1, 0], atol=1e-6)
+
+
+def test_voxel_transform_flip_consistency(rng):
+    """Flipping the grid must equal transforming coordinates by bda."""
+    labels = rng.randint(0, 5, size=(8, 8, 4))
+    out, bda = voxel_transform(labels, 0.0, 1.0, True, False, False)
+    np.testing.assert_array_equal(out, labels[::-1])
+    assert bda.shape == (3, 3)
+    # kitti variant: 4x4 with center conjugation
+    center = np.array([4.0, 0.0, 0.0])
+    out2, bda4 = voxel_transform(labels, 0.0, 1.0, True, False, False,
+                                 transform_center=center)
+    assert bda4.shape == (4, 4)
+    # a point at center must map to itself
+    p = np.array([4.0, 0.0, 0.0, 1.0])
+    np.testing.assert_allclose(bda4 @ p, p, atol=1e-6)
+    # x = 0 maps to x = 8 (mirror about 4)
+    np.testing.assert_allclose((bda4 @ np.array([0.0, 1.0, 0.5, 1.0]))[:3],
+                               [8.0, 1.0, 0.5], atol=1e-6)
+
+
+def test_img_transform_homography_roundtrip(rng):
+    """The accumulated (post_rot, post_tran) must map raw pixel coords to
+    augmented pixel coords the same way the image ops do geometrically."""
+    resize = 0.5
+    crop = (10, 4, 74, 36)  # 64x32 crop
+    # no flip, no rotation: aug(u) = u * resize - crop_offset
+    pr, pt = img_transform_matrices(resize, crop, False, 0.0)
+    u = np.array([100.0, 60.0])
+    out = pr @ u + pt
+    np.testing.assert_allclose(out, u * resize - np.array([10.0, 4.0]), atol=1e-5)
+    # flip: u' = (W_crop - 1?) reference uses x' = (crop_w) - x convention
+    pr, pt = img_transform_matrices(resize, crop, True, 0.0)
+    out = pr @ u + pt
+    fx = (crop[2] - crop[0]) - (u[0] * resize - crop[0])
+    np.testing.assert_allclose(out[0], fx, atol=1e-5)
+
+
+def test_pad_points_and_collate(rng):
+    pts = rng.randn(50, 4).astype(np.float32)
+    padded, valid = pad_points(pts, 64)
+    assert padded.shape == (64, 4) and valid.sum() == 50
+    padded2, valid2 = pad_points(pts, 32)
+    assert valid2.all() and padded2.shape == (32, 4)
+
+    sample = {
+        "imgs": rng.randn(2, 8, 8, 3).astype(np.float32),
+        "rots": np.eye(3, dtype=np.float32)[None].repeat(2, 0),
+        "trans": np.zeros((2, 3), np.float32),
+        "intrins": np.eye(3, dtype=np.float32)[None].repeat(2, 0),
+        "post_rots": np.eye(3, dtype=np.float32)[None].repeat(2, 0),
+        "post_trans": np.zeros((2, 3), np.float32),
+        "bda": np.eye(3, dtype=np.float32),
+        "gt_depth": np.zeros((2, 8, 8), np.float32),
+        "gt_occ": rng.randint(0, 4, (8, 8, 4)),
+        "points_occ": np.concatenate([rng.uniform(-4, 4, (30, 3)),
+                                      rng.randint(0, 4, (30, 1))], 1).astype(np.float32),
+        "pc_range": np.array([-4, -4, -2, 4, 4, 2], np.float32),
+    }
+    batch = collate_batch([sample, sample], max_points=40)
+    assert batch["imgs"].shape == (2, 2, 8, 8, 3)
+    assert batch["lidar_xyz"].shape == (2, 40, 3)
+    assert batch["lidar_valid"].sum() == 60
+    assert batch["gt_occ"].dtype == np.int32
+    # x/y normalized into [0, 1] (z may exceed — out-of-range LiDAR points are
+    # kept and sampled with border padding, mask2former_nusc_occ.py:243-246)
+    lv = batch["lidar_valid"][0]
+    xy = batch["lidar_xyz"][0][lv][:, :2]
+    assert (xy >= 0).all() and (xy <= 1).all()
