@@ -1,0 +1,317 @@
+"""Full OccFormer .pth -> occformer_tpu variables converter.
+
+Maps the reference plugin's released checkpoints (README.md:47-49; module
+naming from projects/mmdet3d_plugin/occformer/*) onto this framework's flax
+param/batch_stats trees.  Conventions handled:
+
+  * conv/deconv/linear layout transposes (engine/checkpoint.py primitives)
+  * BatchNorm running stats -> batch_stats collection
+  * mmcv MultiheadAttention packed in_proj -> split q/k/v Dense
+  * deformable-attention sampling offsets: the reference orders each offset
+    triple (z, y, x) to suit torch grid_sample (multi_scale_deform_attn_3d.py
+    :256-266); ours is (x, y, z), so triples are reversed
+  * grouped DCN weight (O, I/g, K, K) -> [K*K, I/g, O]
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from .checkpoint import (
+    convert_bn,
+    convert_gn_ln,
+    convert_resnet,
+    split_inproj,
+    t2f_conv,
+    t2f_deconv,
+    t2f_linear,
+)
+
+
+class TreeBuilder:
+    """Accumulate nested dict assignments via path strings."""
+
+    def __init__(self):
+        self.params: Dict[str, Any] = {}
+        self.stats: Dict[str, Any] = {}
+
+    def _set(self, root, path, value):
+        keys = path.split("/")
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    def p(self, path, value):
+        self._set(self.params, path, value)
+
+    def s(self, path, value):
+        self._set(self.stats, path, value)
+
+    def bn(self, sd, tprefix, dst):
+        pr, st = convert_bn(sd, tprefix)
+        self.p(dst + "/BatchNorm_0/scale", pr["scale"])
+        self.p(dst + "/BatchNorm_0/bias", pr["bias"])
+        self.s(dst + "/BatchNorm_0/mean", st["mean"])
+        self.s(dst + "/BatchNorm_0/var", st["var"])
+
+    def gn(self, sd, tprefix, dst):
+        self.p(dst + "/GroupNorm_0/scale", sd[tprefix + ".weight"])
+        self.p(dst + "/GroupNorm_0/bias", sd[tprefix + ".bias"])
+
+    def ln(self, sd, tprefix, dst):
+        self.p(dst + "/LayerNorm_0/scale", sd[tprefix + ".weight"])
+        self.p(dst + "/LayerNorm_0/bias", sd[tprefix + ".bias"])
+
+    def conv(self, sd, tprefix, dst, bias=None):
+        self.p(dst + "/Conv_0/kernel", t2f_conv(sd[tprefix + ".weight"]))
+        bkey = tprefix + ".bias"
+        if bias is None:
+            bias = bkey in sd
+        if bias:
+            self.p(dst + "/Conv_0/bias", sd[bkey])
+
+    def deconv(self, sd, tprefix, dst):
+        self.p(dst + "/ConvTranspose_0/kernel", t2f_deconv(sd[tprefix + ".weight"]))
+
+    def linear(self, sd, tprefix, dst):
+        self.p(dst + "/Dense_0/kernel", t2f_linear(sd[tprefix + ".weight"]))
+        if tprefix + ".bias" in sd:
+            self.p(dst + "/Dense_0/bias", sd[tprefix + ".bias"])
+
+
+def _reverse_offset_triples(w: np.ndarray, axis: int) -> np.ndarray:
+    """Reverse each (z, y, x) triple to (x, y, z) along ``axis``."""
+    shape = list(w.shape)
+    n = shape[axis]
+    view = np.moveaxis(w, axis, 0).reshape(n // 3, 3, -1)
+    view = view[:, ::-1, :]
+    return np.moveaxis(view.reshape(n, -1).reshape([n] + shape[:axis] + shape[axis + 1:]), 0, axis)
+
+
+def convert_deform_attn(tb: TreeBuilder, sd, tp: str, dst: str):
+    # sampling_offsets: torch Linear (O=H*L*P*3, I); reverse each triple
+    w = sd[tp + ".sampling_offsets.weight"]
+    b = sd[tp + ".sampling_offsets.bias"]
+    w = _reverse_offset_triples(w, axis=0)
+    b = _reverse_offset_triples(b[:, None], axis=0)[:, 0]
+    tb.p(dst + "/sampling_offsets/Dense_0/kernel", t2f_linear(w))
+    tb.p(dst + "/sampling_offsets/Dense_0/bias", b)
+    for name in ("attention_weights", "value_proj", "output_proj"):
+        tb.linear(sd, f"{tp}.{name}", f"{dst}/{name}")
+
+
+def convert_mmcv_mha(tb: TreeBuilder, sd, tp: str, dst: str):
+    """mmcv MultiheadAttention wraps torch nn.MultiheadAttention at .attn."""
+    proj = split_inproj(sd, tp + ".attn")
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        tb.p(f"{dst}/{name}/Dense_0/kernel", proj[name]["kernel"])
+        tb.p(f"{dst}/{name}/Dense_0/bias", proj[name]["bias"])
+
+
+def convert_ffn(tb: TreeBuilder, sd, tp: str, dst: str):
+    """mmcv FFN: layers.0.0 (fc1) and layers.1 (fc2)."""
+    tb.linear(sd, tp + ".layers.0.0", dst + "/fc1")
+    tb.linear(sd, tp + ".layers.1", dst + "/fc2")
+
+
+def convert_aspp2d(tb: TreeBuilder, sd, tp: str, dst: str, norm: str):
+    """ASPP (reference aspp.py:49-130): aspp1..4, global_avg_pool, conv1/bn1."""
+    nm = tb.gn if norm == "gn" else tb.bn
+    for i in range(1, 5):
+        tb.conv(sd, f"{tp}.aspp{i}.atrous_conv", f"{dst}/aspp{i}_conv")
+        nm(sd, f"{tp}.aspp{i}.bn", f"{dst}/aspp{i}_gn" if norm == "gn" else f"{dst}/aspp{i}_bn")
+    tb.conv(sd, f"{tp}.global_avg_pool.1", f"{dst}/gap_conv")
+    nm(sd, f"{tp}.global_avg_pool.2", f"{dst}/gap_gn" if norm == "gn" else f"{dst}/gap_bn")
+    tb.conv(sd, f"{tp}.conv1", f"{dst}/project_conv")
+    nm(sd, f"{tp}.bn1", f"{dst}/project_gn" if norm == "gn" else f"{dst}/project_bn")
+
+
+def convert_dcn(tb: TreeBuilder, sd, tp: str, dst: str):
+    """mmcv DCN (DeformConv2dPack): .weight (O, I/g, K, K), .conv_offset."""
+    w = sd[tp + ".weight"]
+    O, Ig, K, _ = w.shape
+    tb.p(dst + "/weight", w.transpose(2, 3, 1, 0).reshape(K * K, Ig, O))
+    if tp + ".bias" in sd:
+        tb.p(dst + "/bias", sd[tp + ".bias"])
+    tb.conv(sd, tp + ".conv_offset", dst + "/conv_offset")
+
+
+def convert_depthnet(tb: TreeBuilder, sd, tp: str, dst: str):
+    """DepthNet (ViewTransformerLSSBEVDepth.py:450-504)."""
+    tb.conv(sd, tp + ".reduce_conv.0", dst + "/reduce_conv")
+    tb.bn(sd, tp + ".reduce_conv.1", dst + "/reduce_bn")
+    tb.conv(sd, tp + ".context_conv", dst + "/context_conv")
+    tb.bn(sd, tp + ".bn", dst + "/bn_cam")
+    for branch in ("depth", "context"):
+        tb.linear(sd, f"{tp}.{branch}_mlp.fc1", f"{dst}/{branch}_mlp/fc1")
+        tb.linear(sd, f"{tp}.{branch}_mlp.fc2", f"{dst}/{branch}_mlp/fc2")
+        tb.linear(sd, f"{tp}.{branch}_se.conv_reduce", f"{dst}/{branch}_se/conv_reduce")
+        tb.linear(sd, f"{tp}.{branch}_se.conv_expand", f"{dst}/{branch}_se/conv_expand")
+    # depth_conv: 0-2 BasicBlocks, 3 ASPP, 4 DCN, 5 1x1
+    for i in range(3):
+        bp = f"{tp}.depth_conv.{i}"
+        tb.conv(sd, bp + ".conv1", f"{dst}/depth_block{i}/conv1")
+        tb.bn(sd, bp + ".norm1" if bp + ".norm1.weight" in sd else bp + ".bn1",
+              f"{dst}/depth_block{i}/bn1")
+        tb.conv(sd, bp + ".conv2", f"{dst}/depth_block{i}/conv2")
+        tb.bn(sd, bp + ".norm2" if bp + ".norm2.weight" in sd else bp + ".bn2",
+              f"{dst}/depth_block{i}/bn2")
+    convert_aspp2d(tb, sd, tp + ".depth_conv.3", dst + "/aspp", norm="bn")
+    if tp + ".depth_conv.4.weight" in sd:
+        convert_dcn(tb, sd, tp + ".depth_conv.4", dst + "/dcn")
+        tb.conv(sd, tp + ".depth_conv.5", dst + "/depth_pred")
+    else:
+        tb.conv(sd, tp + ".depth_conv.4", dst + "/depth_pred")
+
+
+def convert_swin_block(tb: TreeBuilder, sd, tp: str, dst: str):
+    tb.ln(sd, tp + ".norm1", dst + "/norm1")
+    tb.p(dst + "/attn/w_msa/relative_position_bias_table",
+         sd[tp + ".attn.w_msa.relative_position_bias_table"])
+    tb.linear(sd, tp + ".attn.w_msa.qkv", dst + "/attn/w_msa/qkv")
+    tb.linear(sd, tp + ".attn.w_msa.proj", dst + "/attn/w_msa/proj")
+    tb.ln(sd, tp + ".norm2", dst + "/norm2")
+    convert_ffn(tb, sd, tp + ".ffn", dst + "/ffn")
+
+
+def convert_dualpath_block(tb: TreeBuilder, sd, tp: str, dst: str):
+    tb.conv(sd, tp + ".input_conv.0", dst + "/input_conv")
+    tb.gn(sd, tp + ".input_conv.1", dst + "/input_gn")
+    convert_swin_block(tb, sd, tp + ".bev_encoder", dst + "/bev_encoder")
+    # BottleNeckASPP (aspp.py:132-171)
+    tb.conv(sd, tp + ".aspp.input_conv.0", dst + "/aspp/input_conv")
+    tb.gn(sd, tp + ".aspp.input_conv.1", dst + "/aspp/input_gn")
+    convert_aspp2d(tb, sd, tp + ".aspp.aspp", dst + "/aspp/aspp", norm="gn")
+    tb.conv(sd, tp + ".aspp.output_conv.0", dst + "/aspp/output_conv")
+    tb.gn(sd, tp + ".aspp.output_conv.1", dst + "/aspp/output_gn")
+    tb.conv(sd, tp + ".combine_coeff", dst + "/combine_coeff")
+    if tp + ".downsample.0.weight" in sd:
+        tb.conv(sd, tp + ".downsample.0", dst + "/downsample_conv")
+        tb.gn(sd, tp + ".downsample.1", dst + "/downsample_gn")
+
+
+def convert_occformer(sd: Dict[str, np.ndarray],
+                      num_encoder_levels: int = 3) -> Dict[str, Any]:
+    """Full reference checkpoint -> {'params': ..., 'batch_stats': ...}."""
+    tb = TreeBuilder()
+
+    # ---- image backbone (ResNet naming) ----
+    if any(k.startswith("img_backbone.layer1") for k in sd):
+        rp, rs = convert_resnet(sd, "img_backbone.")
+        tb.params["backbone"] = rp
+        tb.stats["backbone"] = rs
+
+    # ---- SECONDFPN ----
+    i = 0
+    while f"img_neck.deblocks.{i}.0.weight" in sd:
+        w = sd[f"img_neck.deblocks.{i}.0.weight"]
+        # conv (stride<1 path) vs deconv: mmcv deconv weight is (I, O, K, K);
+        # both 4D — disambiguate by module class is impossible from the dict,
+        # so rely on OccFormer's configs: stride>=1 levels are deconvs except
+        # fractional strides whose conv kernels equal the stride.  We detect
+        # conv when in_channels (dim0) matches the known neck input.
+        # For OccFormer checkpoints both cases appear; deconv has
+        # shape (I, O, k, k) with I > O, fractional-stride conv has (O, I, k, k)
+        # with O < I as well — fall back to trying deconv first and let shape
+        # validation against the model tree settle it in `match_to_tree`.
+        tb.deconv(sd, f"img_neck.deblocks.{i}.0", f"neck/deblock{i}_up")
+        tb.p(f"neck/deblock{i}_conv/Conv_0/kernel", t2f_conv(w))
+        tb.bn(sd, f"img_neck.deblocks.{i}.1", f"neck/deblock{i}_bn")
+        i += 1
+
+    # ---- view transformer ----
+    convert_depthnet(tb, sd, "img_view_transformer.depth_net",
+                     "view_transformer/depth_net")
+
+    # ---- 3D encoder ----
+    pat = re.compile(r"^img_bev_encoder_backbone\.layers\.(\d+)\.(\d+)\.")
+    blocks = sorted({(int(m.group(1)), int(m.group(2)))
+                     for k in sd if (m := pat.match(k))})
+    for si, bi in blocks:
+        convert_dualpath_block(
+            tb, sd, f"img_bev_encoder_backbone.layers.{si}.{bi}",
+            f"bev_backbone/stage{si}_block{bi}",
+        )
+
+    # ---- pixel decoder ----
+    neck = "img_bev_encoder_neck"
+    for i in range(num_encoder_levels):
+        tb.conv(sd, f"{neck}.input_convs.{i}.conv", f"bev_neck/input_conv{i}")
+        tb.gn(sd, f"{neck}.input_convs.{i}.gn", f"bev_neck/input_gn{i}")
+    li = 0
+    while f"{neck}.encoder.layers.{li}.attentions.0.value_proj.weight" in sd:
+        base = f"{neck}.encoder.layers.{li}"
+        dst = f"bev_neck/layer{li}"
+        convert_deform_attn(tb, sd, base + ".attentions.0", dst + "/attn")
+        convert_ffn(tb, sd, base + ".ffns.0", dst + "/ffn")
+        tb.ln(sd, base + ".norms.0", dst + "/norm1")
+        tb.ln(sd, base + ".norms.1", dst + "/norm2")
+        li += 1
+    tb.p("bev_neck/level_encoding", sd[f"{neck}.level_encoding.weight"])
+    i = 0
+    while f"{neck}.lateral_convs.{i}.conv.weight" in sd:
+        tb.conv(sd, f"{neck}.lateral_convs.{i}.conv", f"bev_neck/lateral_conv{i}")
+        tb.gn(sd, f"{neck}.lateral_convs.{i}.gn", f"bev_neck/lateral_gn{i}")
+        tb.conv(sd, f"{neck}.output_convs.{i}.conv", f"bev_neck/output_conv{i}")
+        tb.gn(sd, f"{neck}.output_convs.{i}.gn", f"bev_neck/output_gn{i}")
+        i += 1
+    tb.conv(sd, f"{neck}.mask_feature", "bev_neck/mask_feature")
+
+    # ---- Mask2Former head ----
+    head = "pts_bbox_head"
+    tb.p("head/query_embed", sd[f"{head}.query_embed.weight"])
+    tb.p("head/query_feat", sd[f"{head}.query_feat.weight"])
+    tb.p("head/level_embed", sd[f"{head}.level_embed.weight"])
+    tb.linear(sd, f"{head}.cls_embed", "head/cls_embed")
+    tb.linear(sd, f"{head}.mask_embed.0", "head/mask_embed_fc1")
+    tb.linear(sd, f"{head}.mask_embed.2", "head/mask_embed_fc2")
+    tb.linear(sd, f"{head}.mask_embed.4", "head/mask_embed_fc3")
+    tb.ln(sd, f"{head}.transformer_decoder.post_norm", "head/post_norm")
+    li = 0
+    while f"{head}.transformer_decoder.layers.{li}.norms.0.weight" in sd:
+        base = f"{head}.transformer_decoder.layers.{li}"
+        dst = f"head/layer{li}"
+        # operation order: cross_attn (attentions.0), self_attn (attentions.1)
+        convert_mmcv_mha(tb, sd, base + ".attentions.0", dst + "/cross_attn")
+        convert_mmcv_mha(tb, sd, base + ".attentions.1", dst + "/self_attn")
+        convert_ffn(tb, sd, base + ".ffns.0", dst + "/ffn")
+        tb.ln(sd, base + ".norms.0", dst + "/norm1")
+        tb.ln(sd, base + ".norms.1", dst + "/norm2")
+        tb.ln(sd, base + ".norms.2", dst + "/norm3")
+        li += 1
+
+    return {"params": tb.params, "batch_stats": tb.stats}
+
+
+def match_to_tree(converted: Dict, target: Dict, path="") -> Tuple[Dict, list]:
+    """Prune/select converted entries to the target tree's structure; returns
+    (matched tree, list of mismatch messages).  Handles the deconv-vs-conv
+    SECONDFPN ambiguity by shape."""
+    import jax
+
+    msgs = []
+
+    def walk(conv_node, tgt_node, path):
+        out = {}
+        for k, tgt_v in tgt_node.items():
+            if isinstance(tgt_v, dict):
+                sub = conv_node.get(k, {}) if isinstance(conv_node, dict) else {}
+                out[k] = walk(sub, tgt_v, path + "/" + k)
+            else:
+                v = conv_node.get(k) if isinstance(conv_node, dict) else None
+                if v is None:
+                    msgs.append(f"missing {path}/{k} (kept init)")
+                    out[k] = tgt_v
+                elif tuple(v.shape) != tuple(tgt_v.shape):
+                    msgs.append(
+                        f"shape mismatch {path}/{k}: ckpt {v.shape} vs model {tgt_v.shape}"
+                    )
+                    out[k] = tgt_v
+                else:
+                    out[k] = v.astype(np.asarray(tgt_v).dtype)
+        return out
+
+    return walk(converted, target, path), msgs

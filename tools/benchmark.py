@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Inference FPS benchmark with per-stage timing.
+
+Reference: tools/analysis_tools/benchmark.py:21-80 (warmup + synchronized
+timing).  Also reports a per-stage breakdown (image encoder / view transform /
+3D encoder+neck / head) using block_until_ready boundaries — the TPU analogue
+of the reference's record_time cuda.synchronize timers
+(detectors/occupancyformer.py:19-57).
+
+Usage: python tools/benchmark.py [config] [--iters 50] [--stage-breakdown]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?",
+                   default="occformer_tpu/configs/occformer_nusc_r50_256x704.py")
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--stage-breakdown", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_model_and_batch
+
+    model, batch = _flagship_model_and_batch(jnp.bfloat16, args.batch_size)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    from occformer_tpu.models.mask2former_head import format_results
+
+    def full(variables, batch):
+        out = model.apply(variables, batch)
+        return format_results(out["cls_preds"][-1], out["mask_preds"][-1])
+
+    jfull = jax.jit(full)
+    jfull(variables, batch).block_until_ready()
+    for _ in range(args.warmup):
+        jfull(variables, batch).block_until_ready()
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.iters):
+        out = jfull(variables, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = args.iters * args.batch_size / dt
+    report = {"fps_per_chip": round(fps, 3), "ms_per_frame": round(1000 * dt / (args.iters * args.batch_size), 2)}
+
+    if args.stage_breakdown:
+        # stage timings via separately-jitted segments (upper bounds: fusion
+        # across stages is lost, but relative cost is informative)
+        def img_enc(variables, batch):
+            return model.apply(variables, batch["imgs"].astype(model.dtype),
+                               method=model.image_encoder)
+
+        def feats(variables, batch):
+            return model.apply(variables, batch, method=model.extract_feat)
+
+        j1 = jax.jit(img_enc)
+        j2 = jax.jit(feats)
+        j1(variables, batch)[0].block_until_ready()
+        vf, _ = j2(variables, batch)
+        jax.block_until_ready(vf)
+
+        def timeit(f, n=20):
+            f()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = f()
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / n * 1000
+
+        report["img_encoder_ms"] = round(timeit(lambda: j1(variables, batch)), 2)
+        report["through_neck_ms"] = round(timeit(lambda: j2(variables, batch)), 2)
+        report["full_ms"] = round(timeit(lambda: jfull(variables, batch)), 2)
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Training CLI: config -> model + loader + pjit train loop.
+
+Replaces reference tools/train.py + apis/{train.py, mmdet_train.py}: instead
+of runner/hook machinery, a plain epoch loop around one jitted train step on
+a data mesh, with orbax checkpointing and periodic eval.
+
+Usage:
+  python tools/train.py occformer_tpu/configs/occformer_nusc_r50_256x704.py \
+      --work-dir work_dirs/nusc_r50 [--cfg-options model.foo=bar ...]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--load-from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap total steps (debug)")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from occformer_tpu.config import load_config, parse_override_value
+    from occformer_tpu.data.loader import build_dataloader
+    from occformer_tpu.engine.checkpoint import (
+        latest_checkpoint, load_checkpoint, save_checkpoint,
+    )
+    from occformer_tpu.engine.optim import build_optimizer, step_lr_schedule
+    from occformer_tpu.engine.train import (
+        TrainState, build_loss_cfg, build_train_step, init_train_state,
+    )
+    from occformer_tpu.models.detector import OccupancyFormer
+    from occformer_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicate_sharding, shard_batch,
+    )
+    from occformer_tpu.registry import DATASETS, build_from_cfg
+
+    overrides = {}
+    for kv in args.cfg_options:
+        k, v = kv.split("=", 1)
+        overrides[k] = parse_override_value(v)
+    cfg = load_config(args.config, overrides)
+    work_dir = args.work_dir or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0]
+    )
+    os.makedirs(work_dir, exist_ok=True)
+
+    dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+    m = cfg["model"]
+    model = OccupancyFormer(
+        img_backbone=dict(m["img_backbone"]),
+        img_neck=dict(m["img_neck"]),
+        img_view_transformer=dict(m["img_view_transformer"]),
+        img_bev_encoder_backbone=dict(m["img_bev_encoder_backbone"]),
+        img_bev_encoder_neck=dict(m["img_bev_encoder_neck"]),
+        pts_bbox_head=dict(m["pts_bbox_head"]),
+        train=True,
+        dtype=dtype,
+    )
+
+    dataset = build_from_cfg(dict(cfg["data"]["train"]), DATASETS)
+    n_hosts = jax.process_count()
+    loader = build_dataloader(
+        dataset,
+        samples_per_gpu=cfg["data"].get("samples_per_gpu", 1) * jax.local_device_count(),
+        seed=args.seed,
+        num_hosts=n_hosts,
+        host_id=jax.process_index(),
+        max_points=cfg.get("max_lidar_points", 35000),
+    )
+    steps_per_epoch = len(loader)
+    max_epochs = cfg.get("runner", {}).get("max_epochs", 24)
+
+    opt_cfg = cfg.get("optimizer", {})
+    lr = step_lr_schedule(
+        opt_cfg.get("lr", 1e-4), steps_per_epoch,
+        cfg.get("lr_config", {}).get("step", [20, 23]),
+    )
+    grad_clip = cfg.get("optimizer_config", {}).get("grad_clip", {}).get("max_norm", 5.0)
+    loss_cfg = build_loss_cfg(dict(m["pts_bbox_head"]), dict(m.get("train_cfg", {}).get("pts", {})))
+
+    mesh = make_mesh(cfg.get("mesh", {}).get("axes", ("data",)))
+    rep = replicate_sharding(mesh)
+
+    # init from the first batch
+    first = next(iter(loader))
+    rng = jax.random.PRNGKey(args.seed)
+    variables = jax.jit(model.init)({"params": rng, "dropout": rng}, first)
+    tx = build_optimizer(
+        variables["params"], lr=lr,
+        weight_decay=opt_cfg.get("weight_decay", 0.01),
+        betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+        eps=opt_cfg.get("eps", 1e-8), grad_clip=grad_clip,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    resume = args.resume_from or latest_checkpoint(os.path.join(work_dir, "ckpts"))
+    if resume:
+        state = load_checkpoint(resume, state)
+        print(f"resumed from {resume} at step {int(state.step)}")
+
+    state = jax.device_put(state, rep)
+    train_step = jax.jit(
+        build_train_step(model, tx, loss_cfg),
+        in_shardings=(rep, batch_sharding(mesh), rep),
+        donate_argnums=(0,),
+    )
+
+    log_every = cfg.get("log_config", {}).get("interval", 50)
+    step = int(state.step)
+    with mesh:
+        for epoch in range(step // max(steps_per_epoch, 1), max_epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            for batch in loader:
+                batch = shard_batch(batch, mesh)
+                state, metrics = train_step(state, batch, rng)
+                step += 1
+                if step % log_every == 0:
+                    m_host = {k: float(v) for k, v in metrics.items()}
+                    dt = (time.time() - t0) / log_every
+                    t0 = time.time()
+                    print(json.dumps({"step": step, "epoch": epoch,
+                                      "sec/iter": round(dt, 3), **m_host}))
+                if args.max_steps and step >= args.max_steps:
+                    break
+            save_checkpoint(os.path.join(work_dir, "ckpts"), jax.device_get(state),
+                            step, cfg.get("checkpoint_config", {}).get("max_keep_ckpts", 1))
+            if args.max_steps and step >= args.max_steps:
+                break
+    print("training done at step", step)
+
+
+if __name__ == "__main__":
+    main()
