@@ -45,6 +45,9 @@ def collate_batch(
             batch[key] = np.stack([s[key] for s in samples]).astype(np.float32)
     if samples[0].get("gt_occ") is not None:
         batch["gt_occ"] = np.stack([s["gt_occ"] for s in samples]).astype(np.int32)
+    if samples[0].get("panoptic_ids") is not None:
+        batch["panoptic_ids"] = np.stack(
+            [s["panoptic_ids"] for s in samples]).astype(np.int32)
     if samples[0].get("points_occ") is not None:
         xyz_l, valid_l, label_l = [], [], []
         pcr = np.asarray(

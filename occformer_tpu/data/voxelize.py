@@ -31,13 +31,17 @@ def majority_vote_voxelize(
     grid_size: Sequence[int],
     point_cloud_range: Sequence[float],
     empty_id: int,
+    label_space: int = 256,
+    suppress_zero: bool = False,
 ) -> np.ndarray:
     """Majority-vote point labels into a dense voxel grid.
 
     Equivalent to the reference's sort + nb_process_label
     (loading_nusc_occ.py:97-138): clip points into range, floor-quantize,
     per-voxel argmax of label counts (ties -> smallest label id), empty
-    voxels get ``empty_id``.
+    voxels get ``empty_id``.  ``suppress_zero`` reproduces the panoptic
+    kernel's behaviour (loading_nusc_panoptic_occ.py:148-170): label 0
+    (noise) never outvotes a real label but survives when alone.
     """
     grid_size = np.asarray(grid_size, np.int64)
     pcr = np.asarray(point_cloud_range, np.float64)
@@ -49,18 +53,22 @@ def majority_vote_voxelize(
     labels = labels.astype(np.int64).reshape(-1)
 
     # count (voxel, label) pairs
-    key = flat * 256 + labels
+    key = flat * label_space + labels
     uniq, counts = np.unique(key, return_counts=True)
-    vox = uniq // 256
-    lab = uniq % 256
+    vox = uniq // label_space
+    lab = uniq % label_space
+    if suppress_zero:
+        # zero label wins only when nothing else is present
+        counts = np.where(lab == 0, 0, counts)
     # order: voxel asc, count desc, label asc -> first row per voxel wins
     order = np.lexsort((lab, -counts, vox))
     vox, lab = vox[order], lab[order]
     first = np.ones(len(vox), bool)
     first[1:] = vox[1:] != vox[:-1]
 
-    out = np.full(int(np.prod(grid_size)), empty_id, np.uint8)
-    out[vox[first]] = lab[first].astype(np.uint8)
+    dtype = np.uint8 if label_space <= 256 else np.int64
+    out = np.full(int(np.prod(grid_size)), empty_id, dtype)
+    out[vox[first]] = lab[first].astype(dtype)
     return out.reshape(tuple(grid_size))
 
 
@@ -248,5 +256,78 @@ class LoadSemKittiAnnotation:
             bda = np.eye(4, dtype=np.float32)
             gt_occ = np.asarray(gt_occ).astype(np.int64)
         results["gt_occ"] = gt_occ
+        results["bda"] = bda
+        return results
+
+
+@PIPELINES.register_module()
+class LoadNuscPanopticOccupancyAnnotations:
+    """Panoptic labels class*1000+instance, voxelized with noise suppression
+    (loading_nusc_panoptic_occ.py:33-170).  Also emits the per-sample padded
+    unique-id table the panoptic loss consumes (losses/mask2former_loss.py
+    preprocess_panoptic_gt)."""
+
+    def __init__(self, data_root="data/nuscenes", is_train=False,
+                 is_test_submit=False, grid_size=None, point_cloud_range=None,
+                 bda_aug_conf=None, unoccupied_id=17, max_instances=100,
+                 cls_metas=None, seed=None):
+        self.data_root = data_root
+        self.is_train = is_train
+        self.is_test_submit = is_test_submit
+        self.grid_size = np.asarray(grid_size)
+        self.point_cloud_range = np.asarray(point_cloud_range, np.float64)
+        self.bda_aug_conf = bda_aug_conf
+        self.unoccupied_id = unoccupied_id
+        self.max_instances = max_instances
+        self.rng = np.random.RandomState(seed)
+        self.learning_map = NUSC_LEARNING_MAP
+
+    def __call__(self, results: Dict) -> Dict:
+        points = np.fromfile(results["pts_filename"], dtype=np.float32).reshape(-1, 5)[:, :3]
+        if self.is_test_submit:
+            results["bda"] = np.eye(3, dtype=np.float32)
+            results["points_occ"] = np.concatenate(
+                [points, np.zeros((points.shape[0], 1), np.float32)], axis=-1)
+            results["points_lidar"] = points
+            return results
+
+        pan_file = results["lidarseg"].replace("lidarseg", "panoptic").replace(".bin", ".npz")
+        panoptic = np.load(os.path.join(self.data_root, pan_file))["data"].astype(np.int64)
+        semantic = panoptic // 1000
+        # remap semantic part through the learning map, keep instance part
+        for sem_id in np.unique(semantic):
+            m = semantic == sem_id
+            mapped = self.learning_map[int(sem_id)]
+            panoptic[m] = mapped * 1000 + (panoptic[m] - sem_id * 1000)
+            semantic[m] = mapped
+
+        if self.is_train:
+            rot, scale, fdx, fdy, fdz = sample_3d_augmentation(self.bda_aug_conf, self.rng)
+            bda = bda_matrix(rot, fdx, fdy, fdz)
+        else:
+            bda = np.eye(3, dtype=np.float32)
+        points = points @ bda.T
+        lidarseg = np.concatenate(
+            [points, panoptic.reshape(-1, 1).astype(np.float32)], axis=-1)
+
+        empty_id = self.unoccupied_id * 1000
+        vox = majority_vote_voxelize(
+            points, panoptic, self.grid_size, self.point_cloud_range,
+            empty_id=empty_id, label_space=65536, suppress_zero=True,
+        ).astype(np.int64)
+        vox[vox == 0] = 65535        # noise -> ignored
+        vox[vox == empty_id] = 0     # empty -> 0
+
+        # padded unique-id table for static-shape loss targets
+        ids = np.unique(vox)
+        ids = ids[(ids > 0) & (ids < self.unoccupied_id * 1000)]
+        ids = ids[: self.max_instances]
+        pad = np.full(self.max_instances, -1, np.int64)
+        pad[: len(ids)] = ids
+
+        results["gt_occ"] = vox
+        results["panoptic_ids"] = pad
+        results["points_occ"] = lidarseg.astype(np.float32)
+        results["points_lidar"] = points.astype(np.float32)
         results["bda"] = bda
         return results

@@ -66,16 +66,36 @@ class MaskLossConfig:
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
-    """[B, X, Y, Z] labels -> (masks [B, G, X, Y, Z] f32, labels [G], valid [B, G]).
+    """[B, X, Y, Z] labels -> (masks [B, G, X, Y, Z] f32, labels [B, G], valid [B, G]).
 
     G = num_classes; slot g is the binary mask of class g; a slot is valid iff
     the class appears (mirrors preprocess_occupancy_gt keeping only labels
     < num_classes — 255/noise is excluded automatically).
     """
+    B = gt_occ.shape[0]
     classes = jnp.arange(num_classes, dtype=gt_occ.dtype)
     masks = (gt_occ[:, None] == classes[None, :, None, None, None])
     valid = jnp.any(masks, axis=(2, 3, 4))
-    return masks.astype(jnp.float32), classes.astype(jnp.int32), valid
+    labels = jnp.broadcast_to(classes[None].astype(jnp.int32), (B, num_classes))
+    return masks.astype(jnp.float32), labels, valid
+
+
+def preprocess_panoptic_gt(gt_occ: jnp.ndarray, panoptic_ids: jnp.ndarray,
+                           num_classes: int):
+    """Panoptic GT: voxel ids are class*1000+instance
+    (base/mmdet_utils.py:383-424).
+
+    Args:
+      gt_occ: [B, X, Y, Z] panoptic voxel ids
+      panoptic_ids: [B, S] the (host-collated, padded) unique ids per sample;
+        id < 0 marks an empty slot
+    Returns (masks [B, S, X, Y, Z] f32, labels [B, S], valid [B, S]).
+    """
+    masks = gt_occ[:, None] == panoptic_ids[:, :, None, None, None]
+    labels = (panoptic_ids // 1000).astype(jnp.int32)
+    valid = (panoptic_ids >= 0) & (labels < num_classes) & jnp.any(
+        masks, axis=(2, 3, 4))
+    return masks.astype(jnp.float32), jnp.clip(labels, 0), valid
 
 
 def _resolve_sample_weights(rng, cfg: MaskLossConfig) -> Optional[jnp.ndarray]:
@@ -282,6 +302,7 @@ def mask2former_loss(
     cfg: MaskLossConfig,
     lidar_xyz: Optional[jnp.ndarray] = None,    # [B, P, 3] in [0, 1]
     lidar_valid: Optional[jnp.ndarray] = None,  # [B, P]
+    gt_override: Optional[Tuple] = None,        # (masks, labels, valid) e.g. panoptic
 ) -> Dict[str, jnp.ndarray]:
     """Deep-supervision loss over all decoder layers.
 
@@ -292,27 +313,29 @@ def mask2former_loss(
     (mask2former_occ.py:324-338).
     """
     L, B = cls_preds.shape[:2]
-    gt_masks, gt_labels, gt_valid = preprocess_gt(gt_occ, cfg.num_classes)
+    if gt_override is not None:
+        gt_masks, gt_labels, gt_valid = gt_override
+    else:
+        gt_masks, gt_labels, gt_valid = preprocess_gt(gt_occ, cfg.num_classes)
     sw_rng, rng = jax.random.split(rng)
     sample_weights = _resolve_sample_weights(sw_rng, cfg)
 
     def one(l_rng, cls_l, mask_l):
         keys = jax.random.split(l_rng, B)
 
-        def per_sample(k, cs, mp, gm, gv, lx, lv):
-            return _loss_single_sample(
-                k, cs, mp, gm, gt_labels, gv, lx, lv, sample_weights, cfg
-            )
-
         if cfg.use_lidar_points:
-            parts = jax.vmap(per_sample)(keys, cls_l, mask_l, gt_masks,
-                                         gt_valid, lidar_xyz, lidar_valid)
+            parts = jax.vmap(
+                lambda k, cs, mp, gm, gl, gv, lx, lv: _loss_single_sample(
+                    k, cs, mp, gm, gl, gv, lx, lv, sample_weights, cfg
+                )
+            )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid,
+              lidar_xyz, lidar_valid)
         else:
             parts = jax.vmap(
-                lambda k, cs, mp, gm, gv: _loss_single_sample(
-                    k, cs, mp, gm, gt_labels, gv, None, None, sample_weights, cfg
+                lambda k, cs, mp, gm, gl, gv: _loss_single_sample(
+                    k, cs, mp, gm, gl, gv, None, None, sample_weights, cfg
                 )
-            )(keys, cls_l, mask_l, gt_masks, gt_valid)
+            )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid)
         eps = jnp.finfo(jnp.float32).eps
         loss_cls = cfg.cls_loss_weight * jnp.sum(parts["cls_num"]) / jnp.maximum(
             jnp.sum(parts["cls_avg"]), eps)

@@ -8,6 +8,10 @@ from .aspp import ASPP2D, BottleNeckASPP  # noqa: F401
 from .occnet import DualpathTransformerBlock, OccupancyEncoder  # noqa: F401
 from .pos_embed import SinePositionalEncoding3D  # noqa: F401
 from .pixel_decoder import MSDeformAttnPixelDecoder3D  # noqa: F401
-from .mask2former_head import Mask2FormerOccHead, Mask2FormerNuscOccHead  # noqa: F401
+from .mask2former_head import (  # noqa: F401
+    Mask2FormerOccHead,
+    Mask2FormerNuscOccHead,
+    Mask2FormerNuscPanopticOccHead,
+)
 from .efficientnet import CustomEfficientNet  # noqa: F401
 from .detector import OccupancyFormer  # noqa: F401

@@ -202,6 +202,14 @@ class Mask2FormerNuscOccHead(Mask2FormerOccHead):
     align_corners: bool = True
 
 
+@HEADS.register_module()
+class Mask2FormerNuscPanopticOccHead(Mask2FormerNuscOccHead):
+    """Panoptic variant: the decoder is identical; the differences live in
+    the GT (class*1000+instance slots, preprocess_panoptic_gt) and the
+    host-side panoptic formatting (utils/panoptic.py)
+    (mask2former_nusc_panoptic_occ.py:25-835)."""
+
+
 def format_results(cls_logits: jnp.ndarray, mask_logits: jnp.ndarray) -> jnp.ndarray:
     """softmax(cls)[:-1] · sigmoid(mask) -> per-class voxel scores.
 
