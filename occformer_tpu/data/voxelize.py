@@ -52,6 +52,15 @@ def majority_vote_voxelize(
     flat = (idx[:, 0] * grid_size[1] + idx[:, 1]) * grid_size[2] + idx[:, 2]
     labels = labels.astype(np.int64).reshape(-1)
 
+    # fast path: the native C++ kernel (csrc/occ_data.cpp) when available
+    from .native import majority_vote_native
+
+    native = majority_vote_native(flat, labels, int(np.prod(grid_size)),
+                                  empty_id, suppress_zero=suppress_zero)
+    if native is not None:
+        dtype = np.uint8 if label_space <= 256 else np.int64
+        return native.astype(dtype).reshape(tuple(grid_size))
+
     # count (voxel, label) pairs
     key = flat * label_space + labels
     uniq, counts = np.unique(key, return_counts=True)

@@ -206,3 +206,42 @@ class OccupancyFormer(nn.Module):
 
     def depth_loss(self, gt_depth, depth_prob):
         return self.view_transformer.get_depth_loss(gt_depth, depth_prob)
+
+
+@DETECTORS.register_module()
+class OccupancyFormer4D(OccupancyFormer):
+    """2-frame temporal variant (reference occupancyformer.py:256-312).
+
+    The batch carries 2N cameras ([cur, prev] interleaved on the camera
+    axis); each frame runs the image encoder + view transformer (the previous
+    frame under stop_gradient), and the two voxel volumes concatenate on
+    channels before the 3D encoder.  The reference quirk of feeding the key
+    frame's sensor2ego into both frames' camera embeddings (:293-294) is kept.
+    """
+
+    def extract_feat(self, batch):
+        from .depthnet import get_mlp_input
+
+        imgs = batch["imgs"]
+        B, N2, H, W, _ = imgs.shape
+        N = N2 // 2
+        imgs = imgs.reshape(B, N, 2, H, W, 3)
+
+        def frame(i, stop_grad):
+            sl = lambda a: a.reshape(B, N, 2, *a.shape[2:])[:, :, i]
+            x = self.image_encoder(imgs[:, :, i].astype(self.dtype))
+            volume, depth = self.view_transformer(
+                x, sl(batch["rots"]), sl(batch["trans"]), sl(batch["intrins"]),
+                sl(batch["post_rots"]), sl(batch["post_trans"]), batch["bda"],
+            )
+            if stop_grad:
+                volume = jax.lax.stop_gradient(volume)
+                depth = jax.lax.stop_gradient(depth)
+            return volume, depth
+
+        vol_cur, depth_cur = frame(0, stop_grad=False)
+        vol_prev, _ = frame(1, stop_grad=True)
+        volume = jnp.concatenate([vol_cur, vol_prev], axis=-1)
+        scales = self.bev_backbone(volume.astype(self.dtype))
+        voxel_feats = self.bev_neck(scales)
+        return voxel_feats, depth_cur
