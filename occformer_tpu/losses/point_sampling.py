@@ -53,7 +53,7 @@ def sample_with_frequencies(
     G = gt_masks.shape[0]
     w = sample_weights[gt_labels] * gt_valid.astype(jnp.float32)  # [G]
     vox_w = jnp.einsum("g,gxyz->xyz", w.astype(jnp.float32),
-                       gt_masks.astype(jnp.float32))
+                       gt_masks.astype(jnp.float32))  # fuses: no f32 copy
     shape = gt_masks.shape[1:]
     idx = gumbel_topk_sample(rng, vox_w.reshape(-1), num_points)
     coords = unravel_3d(idx, shape).astype(jnp.float32)

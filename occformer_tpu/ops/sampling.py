@@ -79,12 +79,15 @@ def grid_sample_3d(
     z0, z1, wz, okz0, okz1 = _gather_corner_weights(cz, Z, padding_mode)
 
     flat = vol.reshape(B, X * Y * Z, C)
+    # accumulate the lerp in >= fp32; gather first, convert after (so bool /
+    # low-precision volumes never materialize as fp32 at full size)
+    out_dtype = vol.dtype if jnp.issubdtype(vol.dtype, jnp.floating) else ctype
 
     def corner(ix, iy, iz, ok, w):
         lin = (ix * Y + iy) * Z + iz  # [B, P]
         g = jnp.take_along_axis(flat, lin[..., None], axis=1)  # [B, P, C]
         w = jnp.where(ok, w, 0.0)
-        return g * w[..., None].astype(vol.dtype)
+        return g.astype(ctype) * w[..., None]
 
     out = (
         corner(x0, y0, z0, okx0 & oky0 & okz0, (1 - wx) * (1 - wy) * (1 - wz))
@@ -96,7 +99,7 @@ def grid_sample_3d(
         + corner(x0, y1, z1, okx0 & oky1 & okz1, (1 - wx) * wy * wz)
         + corner(x1, y1, z1, okx1 & oky1 & okz1, wx * wy * wz)
     )
-    return out.reshape(B, *batch_shape, C)
+    return out.astype(out_dtype).reshape(B, *batch_shape, C)
 
 
 def grid_sample_2d(
@@ -120,12 +123,13 @@ def grid_sample_2d(
     w0, w1, ww, okw0, okw1 = _gather_corner_weights(cw, W, padding_mode)
 
     flat = img.reshape(B, H * W, C)
+    out_dtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else ctype
 
     def corner(ih, iw, ok, w):
         lin = ih * W + iw
         g = jnp.take_along_axis(flat, lin[..., None], axis=1)
         w = jnp.where(ok, w, 0.0)
-        return g * w[..., None].astype(img.dtype)
+        return g.astype(ctype) * w[..., None]
 
     out = (
         corner(h0, w0, okh0 & okw0, (1 - wh) * (1 - ww))
@@ -133,7 +137,7 @@ def grid_sample_2d(
         + corner(h0, w1, okh0 & okw1, (1 - wh) * ww)
         + corner(h1, w1, okh1 & okw1, wh * ww)
     )
-    return out.reshape(B, *batch_shape, C)
+    return out.astype(out_dtype).reshape(B, *batch_shape, C)
 
 
 def point_sample_3d(
