@@ -180,7 +180,9 @@ class Mask2FormerOccHead(nn.Module):
             # all-True (attend nowhere) rows reset to all-False (reference :636)
             all_true = jnp.all(attn_mask, axis=-1, keepdims=True)
             attn_mask = jnp.where(all_true, False, attn_mask)
-            q = DetrDecoderLayer(
+            # remat: the 32k-key cross-attention logits are recomputed on the
+            # backward pass instead of stored (no-op for inference)
+            q = nn.remat(DetrDecoderLayer)(
                 embed_dims=C, num_heads=nheads, feedforward_channels=ffc,
                 dtype=self.dtype, name=f"layer{i}",
             )(q, qpos, key_tokens[lvl], key_pos[lvl],
