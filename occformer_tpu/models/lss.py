@@ -24,6 +24,70 @@ from ..registry import NECKS
 from .depthnet import DepthNet, get_mlp_input
 
 
+class DepthAggregation(nn.Module):
+    """Pixel-cloud feature refinement over the lifted volume
+    (reference ViewTransformerLSSBEVDepth.py:506-561): reduce conv ->
+    residual double conv -> out conv, applied per (n, h) plane over (w, d).
+    Only used when ``use_voxel_net`` is set (no released config does)."""
+
+    mid_channels: int
+    out_channels: int
+    train: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [N*, W, D, C] planes
+        from .layers import BatchNorm, Conv
+
+        y = Conv(self.mid_channels, (3, 3), use_bias=False, dtype=self.dtype,
+                 name="reduce_conv")(x)
+        y = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      name="reduce_bn")(y)
+        y = nn.relu(y)
+        shortcut = y
+        z = Conv(self.mid_channels, (3, 3), use_bias=False, dtype=self.dtype,
+                 name="conv1")(y)
+        z = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      name="bn1")(z)
+        z = nn.relu(z)
+        z = Conv(self.mid_channels, (3, 3), use_bias=False, dtype=self.dtype,
+                 name="conv2")(z)
+        z = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      name="bn2")(z)
+        z = nn.relu(z)
+        y = shortcut + z
+        return Conv(self.out_channels, (3, 3), use_bias=True, dtype=self.dtype,
+                    name="out_conv")(y)
+
+
+def shift_feature(feat: jnp.ndarray, curr2prev: jnp.ndarray,
+                  bx, dx) -> jnp.ndarray:
+    """Align a previous-frame BEV feature map to the current ego frame.
+
+    Reference BEVDet4D.shift_feature (detectors/bevdepth.py:180-298): build
+    the BEV-plane grid of current-frame cell centers, transform them into the
+    previous frame with the 4x4 ``curr2prev`` ego transform, and bilinearly
+    resample.  feat: [B, X, Y, C]; bx/dx: first-center and cell size (x, y).
+    """
+    B, X, Y, C = feat.shape
+    xs = jnp.arange(X, dtype=jnp.float32) * dx[0] + bx[0]
+    ys = jnp.arange(Y, dtype=jnp.float32) * dx[1] + bx[1]
+    gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
+    ones = jnp.ones_like(gx)
+    pts = jnp.stack([gx, gy, jnp.zeros_like(gx), ones], -1)  # [X, Y, 4]
+    prev = jnp.einsum("bij,xyj->bxyi", curr2prev.astype(jnp.float32), pts)
+    # back to normalized grid coords (align_corners=True over cell centers)
+    u = (prev[..., 0] - bx[0]) / dx[0]
+    v = (prev[..., 1] - bx[1]) / dx[1]
+    nu = jnp.where(X > 1, u / (X - 1) * 2 - 1, 0.0)
+    nv = jnp.where(Y > 1, v / (Y - 1) * 2 - 1, 0.0)
+    from ..ops.sampling import grid_sample_2d
+
+    grid = jnp.stack([nu, nv], -1)
+    return grid_sample_2d(feat, grid, align_corners=True, padding_mode="zeros")
+
+
 def downsampled_gt_depth(gt_depths, grid_config, downsample, D):
     """[B, N, H, W] sparse depth -> one-hot [B*N*fH*fW, D] (min-pooled).
 
