@@ -13,6 +13,7 @@ from .voxelize import (
     sample_3d_augmentation,
 )
 from .nuscenes import CustomNuScenesOccLSSDataset
+from .synthetic import SyntheticOccDataset
 from .semantic_kitti import CustomSemanticKITTILssDataset
 from .loader import build_dataloader, collate_batch
 
@@ -28,6 +29,7 @@ __all__ = [
     "img_transform_matrices",
     "mmlab_normalize",
     "CustomNuScenesOccLSSDataset",
+    "SyntheticOccDataset",
     "CustomSemanticKITTILssDataset",
     "build_dataloader",
     "collate_batch",

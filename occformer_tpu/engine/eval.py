@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.mask2former_head import format_results
+from ..models.mask2former_head import format_results, mask_logits_from_embeds
 from ..ops.sampling import grid_sample_3d, resize_trilinear
 from ..utils.metrics import SSCMetrics, cm_to_ious
 
@@ -42,7 +42,9 @@ def build_eval_step(model, occ_size: Tuple[int, int, int],
 
     def eval_step(variables, batch):
         out = model.apply(variables, batch)
-        voxels = format_results(out["cls_preds"][-1], out["mask_preds"][-1])
+        final_mask = mask_logits_from_embeds(out["mask_embeds"][-1],
+                                             out["mask_feature"])
+        voxels = format_results(out["cls_preds"][-1], final_mask)
         result = {}
         # voxel semantics at full occ resolution (simple_test :688-694,
         # detector :227-235: trilinear, align_corners=True)
@@ -107,7 +109,8 @@ def evaluate(
     return results
 
 
-def train_point_miou(cls_preds, mask_preds, batch, num_classes: int) -> float:
+def train_point_miou(cls_preds, mask_embeds, mask_feature, batch,
+                     num_classes: int) -> float:
     """Train-time LiDAR-seg mean IoU on the current batch (host-side).
 
     Mirrors the reference's ``point_mean_iou`` training metric
@@ -117,7 +120,8 @@ def train_point_miou(cls_preds, mask_preds, batch, num_classes: int) -> float:
     from .eval import lidarseg_point_logits  # self-import safe
     from ..utils.metrics import per_class_iou
 
-    voxels = format_results(cls_preds[-1], mask_preds[-1])
+    voxels = format_results(
+        cls_preds[-1], mask_logits_from_embeds(mask_embeds[-1], mask_feature))
     logits = lidarseg_point_logits(voxels, jnp.asarray(batch["lidar_xyz"]))
     pred = np.asarray(jnp.argmax(logits[..., 1:], axis=-1) + 1)
     label = np.asarray(batch["lidar_label"])

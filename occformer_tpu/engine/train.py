@@ -95,7 +95,8 @@ def build_train_step(
         losses = mask2former_loss(
             loss_rng,
             out["cls_preds"],
-            out["mask_preds"],
+            out["mask_embeds"],
+            out["mask_feature"],
             batch["gt_occ"],
             loss_cfg,
             lidar_xyz=batch.get("lidar_xyz"),

@@ -297,9 +297,12 @@ def _bce_elem(logits, target):
 
 def mask2former_loss(
     rng: jax.Array,
-    cls_preds: jnp.ndarray,   # [L, B, Q, C+1]
-    mask_preds: jnp.ndarray,  # [L, B, Q, X, Y, Z]
-    gt_occ: jnp.ndarray,      # [B, X', Y', Z'] int labels at pred resolution
+    cls_preds: jnp.ndarray,    # [L, B, Q, C+1]
+    mask_embeds: jnp.ndarray,  # [L, B, Q, Cout] (per-layer mask volumes are
+                               # recomputed as embed . mask_feature inside the
+                               # scan body — never stacked)
+    mask_feature: jnp.ndarray,  # [B, X, Y, Z, Cout]
+    gt_occ: jnp.ndarray,       # [B, X', Y', Z'] int labels at pred resolution
     cfg: MaskLossConfig,
     lidar_xyz: Optional[jnp.ndarray] = None,    # [B, P, 3] in [0, 1]
     lidar_valid: Optional[jnp.ndarray] = None,  # [B, P]
@@ -351,15 +354,16 @@ def mask2former_loss(
     # layers), at 1/L of the HLO size and compile time
     layer_keys = jax.random.split(rng, L)
 
-    # remat the layer body: backward recomputes the (cheap) sampling instead
-    # of keeping every layer's gathered point buffers alive simultaneously
+    # remat the layer body: backward recomputes the per-layer mask volume and
+    # the (cheap) sampling instead of keeping every layer's buffers alive
     @jax.checkpoint
     def scan_body(carry, xs):
-        k, cls_l, mask_l = xs
+        k, cls_l, emb_l = xs
+        mask_l = jnp.einsum("bqc,bxyzc->bqxyz", emb_l, mask_feature)
         lc, lm, ld = one(k, cls_l, mask_l)
         return carry, jnp.stack([lc, lm, ld])
 
-    _, stacked = jax.lax.scan(scan_body, None, (layer_keys, cls_preds, mask_preds))
+    _, stacked = jax.lax.scan(scan_body, None, (layer_keys, cls_preds, mask_embeds))
 
     losses: Dict[str, jnp.ndarray] = {}
     for l in range(L):

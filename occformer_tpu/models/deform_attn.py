@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sampling import grid_sample_3d
+from ..ops.sampling import grid_sample_3d, grid_sample_3d_cfirst
 from .layers import Linear
 
 
@@ -82,21 +82,24 @@ class MultiScaleDeformableAttention3D(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )  # [B, Nq, H, L, P, 3] in [0, 1]
 
-        # per level: gather with (batch*head) as gather batch
+        # per level: gather with (batch*head) as gather batch, features-first
+        # layout so head_dim (small, e.g. 24) sits in the sublane dim — the
+        # channels-last layout padded every corner gather ~5x on TPU
         value_heads = value.reshape(B, Nv, H, hd)
         out = jnp.zeros((B, Nq, H, hd), self.dtype)
         start = 0
         for l, (X, Y, Z) in enumerate(spatial_shapes):
             n = X * Y * Z
             v_l = value_heads[:, start : start + n]  # [B, n, H, hd]
-            v_l = v_l.transpose(0, 2, 1, 3).reshape(B * H, X, Y, Z, hd)
+            v_l = v_l.transpose(0, 2, 3, 1).reshape(B * H, hd, n)
             # [0,1] -> [-1,1] with align_corners=False (torch grid_sample parity)
             g = locs[:, :, :, l] * 2.0 - 1.0  # [B, Nq, H, P, 3]
             g = g.transpose(0, 2, 1, 3, 4).reshape(B * H, Nq * P, 3)
-            s = grid_sample_3d(v_l, g, align_corners=False, padding_mode="zeros")
-            s = s.reshape(B, H, Nq, P, hd)
+            s = grid_sample_3d_cfirst(v_l, (X, Y, Z), g, align_corners=False,
+                                      padding_mode="zeros")  # [B*H, hd, Nq*P]
+            s = s.reshape(B, H, hd, Nq, P)
             w = weights[:, :, :, l].transpose(0, 2, 1, 3)  # [B, H, Nq, P]
-            out = out + jnp.einsum("bhqp,bhqpd->bqhd", w, s).astype(self.dtype)
+            out = out + jnp.einsum("bhqp,bhdqp->bqhd", w, s).astype(self.dtype)
             start += n
 
         out = out.reshape(B, Nq, C)

@@ -145,8 +145,9 @@ class OccupancyFormer(nn.Module):
     """Full model.  ``__call__(batch)`` -> dict of outputs.
 
     batch keys: imgs [B,N,H,W,3], rots/trans/intrins/post_rots/post_trans,
-    bda.  Output: cls_preds [L+1,B,Q,C+1], mask_preds [L+1,B,Q,X,Y,Z],
-    depth_prob [B*N,fH,fW,D].
+    bda.  Output: cls_preds [L+1,B,Q,C+1], mask_embeds [L+1,B,Q,Cout],
+    mask_feature [B,X,Y,Z,Cout] (mask logits = embed . feature, recomputed
+    where needed), depth_prob [B*N,fH,fW,D].
     """
 
     img_backbone: Dict
@@ -197,10 +198,11 @@ class OccupancyFormer(nn.Module):
 
     def __call__(self, batch):
         voxel_feats, depth_prob = self.extract_feat(batch)
-        cls_preds, mask_preds = self.head(voxel_feats)
+        cls_preds, mask_embeds, mask_feature = self.head(voxel_feats)
         return {
             "cls_preds": cls_preds,
-            "mask_preds": mask_preds,
+            "mask_embeds": mask_embeds,
+            "mask_feature": mask_feature,
             "depth_prob": depth_prob,
         }
 

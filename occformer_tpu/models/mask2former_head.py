@@ -149,31 +149,32 @@ class Mask2FormerOccHead(nn.Module):
         def forward_head(q, target_size):
             d = post_norm(q)
             cls_pred = cls_embed(d)  # [B, Q, C+1]
-            emb = mask_embed(d)      # [B, Q, C]
-            # einsum('bqc,bxyzc->bqxyz')
-            mask_pred = jnp.einsum("bqc,bxyzc->bqxyz", emb, mask_feature)
-            # preserve-pooling attention-mask downsample (reference :477-486)
-            mp = mask_pred.astype(jnp.float32)
+            emb = mask_embed(d)      # [B, Q, Cout]
+            # attention mask only: mask logits in the channels-last layout
+            # adaptive_max_pool3d wants (no [B, Q, X, Y, Z] transposes) and
+            # discarded right after thresholding — the full per-layer mask
+            # volumes are never stacked (they'd be 0.5 GB x several layout
+            # copies); the loss recomputes them per layer from ``emb``
+            mask_for_attn = jnp.einsum(
+                "bqc,bxyzc->bxyzq", emb, mask_feature
+            ).astype(jnp.float32)
             if self.pooling_attn_mask:
-                pooled = adaptive_max_pool3d(
-                    mp.transpose(0, 2, 3, 4, 1), target_size
-                ).transpose(0, 4, 1, 2, 3)
+                pooled = adaptive_max_pool3d(mask_for_attn, target_size)
             else:
-                pooled = resize_trilinear(
-                    mp.transpose(0, 2, 3, 4, 1), target_size,
-                    align_corners=self.align_corners,
-                ).transpose(0, 4, 1, 2, 3)
-            attn = jax.lax.stop_gradient(pooled.reshape(B, self.num_queries, -1))
+                pooled = resize_trilinear(mask_for_attn, target_size,
+                                          align_corners=self.align_corners)
+            pooled = pooled.reshape(B, -1, self.num_queries)
+            attn = jax.lax.stop_gradient(pooled.transpose(0, 2, 1))
             attn_mask = jax.nn.sigmoid(attn) < 0.5  # True = masked out
-            return cls_pred, mask_pred, attn_mask
+            return cls_pred, emb, attn_mask
 
         q = jnp.broadcast_to(query_feat0[None], (B, self.num_queries, C)).astype(self.dtype)
         qpos = jnp.broadcast_to(query_embed[None], (B, self.num_queries, C)).astype(self.dtype)
 
-        cls_list, mask_list = [], []
-        cls_pred, mask_pred, attn_mask = forward_head(q, lvl_shapes[0])
+        cls_list, emb_list = [], []
+        cls_pred, emb, attn_mask = forward_head(q, lvl_shapes[0])
         cls_list.append(cls_pred)
-        mask_list.append(mask_pred)
+        emb_list.append(emb)
 
         for i in range(nlayers):
             lvl = i % nlvl
@@ -187,13 +188,23 @@ class Mask2FormerOccHead(nn.Module):
                 dtype=self.dtype, name=f"layer{i}",
             )(q, qpos, key_tokens[lvl], key_pos[lvl],
               attn_mask[:, None, :, :])  # broadcast over heads
-            cls_pred, mask_pred, attn_mask = forward_head(
-                q, lvl_shapes[(i + 1) % nlvl]
-            )
+            cls_pred, emb, attn_mask = forward_head(q, lvl_shapes[(i + 1) % nlvl])
             cls_list.append(cls_pred)
-            mask_list.append(mask_pred)
+            emb_list.append(emb)
 
-        return jnp.stack(cls_list), jnp.stack(mask_list)
+        return jnp.stack(cls_list), jnp.stack(emb_list), mask_feature
+
+
+def mask_logits_from_embeds(mask_embeds: jnp.ndarray,
+                            mask_feature: jnp.ndarray) -> jnp.ndarray:
+    """[., B, Q, Cout] x [B, X, Y, Z, Cout] -> [., B, Q, X, Y, Z] mask logits.
+
+    The per-layer mask volumes are recomputed from the tiny query embeddings
+    wherever needed (loss scan body, final-layer inference) instead of being
+    stacked — recompute-over-store, the TPU trade."""
+    if mask_embeds.ndim == 3:
+        return jnp.einsum("bqc,bxyzc->bqxyz", mask_embeds, mask_feature)
+    return jnp.einsum("lbqc,bxyzc->lbqxyz", mask_embeds, mask_feature)
 
 
 @HEADS.register_module()

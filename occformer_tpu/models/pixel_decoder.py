@@ -43,22 +43,26 @@ def _reference_points(spatial_shapes) -> np.ndarray:
 
 
 class DeformableEncoderLayer(nn.Module):
-    """self(deform)-attn -> LN -> FFN -> LN (operation_order of the config)."""
+    """self(deform)-attn -> LN -> FFN -> LN (operation_order of the config).
+
+    ``spatial_shapes`` is a static module field (not a call arg) so nn.remat
+    never tries to trace it."""
 
     embed_dims: int
     num_heads: int
     num_levels: int
     num_points: int
     feedforward_channels: int
+    spatial_shapes: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos, reference_points, spatial_shapes):
+    def __call__(self, x, pos, reference_points):
         y = MultiScaleDeformableAttention3D(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=self.num_levels, num_points=self.num_points,
             dtype=self.dtype, name="attn",
-        )(x, x, reference_points, spatial_shapes, query_pos=pos)
+        )(x, x, reference_points, self.spatial_shapes, query_pos=pos)
         y = LayerNorm(dtype=self.dtype, name="norm1")(y)
         y = FFN(self.embed_dims, self.feedforward_channels, act=nn.relu,
                 dtype=self.dtype, name="ffn")(y)
@@ -127,11 +131,14 @@ class MSDeformAttnPixelDecoder3D(nn.Module):
         ref = jnp.broadcast_to(ref[None, :, None, :], (B, ref.shape[0], n_enc, 3))
 
         for li in range(self.num_encoder_layers):
-            x = DeformableEncoderLayer(
+            # remat: corner-gather buffers are recomputed in backward instead
+            # of staying live across all encoder layers
+            x = nn.remat(DeformableEncoderLayer)(
                 embed_dims=C, num_heads=self.num_heads, num_levels=n_enc,
                 num_points=self.num_points, feedforward_channels=ffc,
-                dtype=self.dtype, name=f"layer{li}",
-            )(x, pos_all, ref, shapes)
+                spatial_shapes=tuple(shapes), dtype=self.dtype,
+                name=f"layer{li}",
+            )(x, pos_all, ref)
 
         # split back into volumes, coarsest first
         outs = []

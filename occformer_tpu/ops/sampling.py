@@ -140,6 +140,57 @@ def grid_sample_2d(
     return out.astype(out_dtype).reshape(B, *batch_shape, C)
 
 
+def grid_sample_3d_cfirst(
+    vol_flat: jnp.ndarray,
+    spatial: Tuple[int, int, int],
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Trilinear sampling over a channels-FIRST flat volume.
+
+    vol_flat: [B, C, X*Y*Z]; coords: [B, S, 3] in [-1, 1] -> out [B, C, S].
+
+    Same math as grid_sample_3d, but the gather's minor (lane) dimension is
+    the large sample axis S instead of the channel axis — on TPU a small C
+    (e.g. an attention head_dim of 24) in the minor dim pads to 128 lanes and
+    inflates every corner gather ~5x; this layout keeps tiles dense.  Used by
+    the deformable-attention hot path.
+    """
+    B, C, N = vol_flat.shape
+    X, Y, Z = spatial
+    assert N == X * Y * Z
+    S = coords.shape[1]
+    ctype = jnp.promote_types(vol_flat.dtype, jnp.float32)
+    cx = _unnormalize(coords[..., 0].astype(ctype), X, align_corners)
+    cy = _unnormalize(coords[..., 1].astype(ctype), Y, align_corners)
+    cz = _unnormalize(coords[..., 2].astype(ctype), Z, align_corners)
+    x0, x1, wx, okx0, okx1 = _gather_corner_weights(cx, X, padding_mode)
+    y0, y1, wy, oky0, oky1 = _gather_corner_weights(cy, Y, padding_mode)
+    z0, z1, wz, okz0, okz1 = _gather_corner_weights(cz, Z, padding_mode)
+
+    def corner(ix, iy, iz, ok, w):
+        lin = (ix * Y + iy) * Z + iz  # [B, S]
+        g = jnp.take_along_axis(
+            vol_flat, lin[:, None, :].astype(jnp.int32), axis=2
+        )  # [B, C, S]
+        w = jnp.where(ok, w, 0.0)[:, None, :]
+        return g.astype(ctype) * w
+
+    out = (
+        corner(x0, y0, z0, okx0 & oky0 & okz0, (1 - wx) * (1 - wy) * (1 - wz))
+        + corner(x1, y0, z0, okx1 & oky0 & okz0, wx * (1 - wy) * (1 - wz))
+        + corner(x0, y1, z0, okx0 & oky1 & okz0, (1 - wx) * wy * (1 - wz))
+        + corner(x0, y0, z1, okx0 & oky0 & okz1, (1 - wx) * (1 - wy) * wz)
+        + corner(x1, y1, z0, okx1 & oky1 & okz0, wx * wy * (1 - wz))
+        + corner(x1, y0, z1, okx1 & oky0 & okz1, wx * (1 - wy) * wz)
+        + corner(x0, y1, z1, okx0 & oky1 & okz1, (1 - wx) * wy * wz)
+        + corner(x1, y1, z1, okx1 & oky1 & okz1, wx * wy * wz)
+    )
+    out_dtype = vol_flat.dtype if jnp.issubdtype(vol_flat.dtype, jnp.floating) else ctype
+    return out.astype(out_dtype)
+
+
 def point_sample_3d(
     vol: jnp.ndarray,
     points: jnp.ndarray,

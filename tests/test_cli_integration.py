@@ -1,0 +1,33 @@
+"""CLI integration: tools/train.py + tools/test.py on the synthetic config."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "occformer_tpu", "configs", "synthetic_tiny.py")
+
+
+@pytest.mark.slow
+def test_train_cli_two_steps(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"), CFG,
+         "--work-dir", str(tmp_path), "--max-steps", "2", "--cpu"],
+        capture_output=True, text=True, timeout=1500, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "training done" in r.stdout
+    ckpts = os.path.join(str(tmp_path), "ckpts")
+    assert os.path.isdir(ckpts) and os.listdir(ckpts)
+
+
+@pytest.mark.slow
+def test_test_cli_synthetic(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test.py"), CFG,
+         "--max-samples", "2", "--cpu"],
+        capture_output=True, text=True, timeout=1500, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "nuScenes_lidarseg_mean" in r.stdout

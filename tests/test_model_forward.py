@@ -32,8 +32,13 @@ def test_forward_shapes(model_and_params):
     L = 3 + 1  # decoder layers + initial proposal
     Q = 8
     C = tiny_cfg.NUM_CLASSES
+    VOUT = tiny_cfg.VOXEL_OUT
     assert out["cls_preds"].shape == (L, 1, Q, C + 1)
-    assert out["mask_preds"].shape == (L, 1, Q, X, Y, Z)
+    assert out["mask_embeds"].shape == (L, 1, Q, VOUT)
+    assert out["mask_feature"].shape == (1, X, Y, Z, VOUT)
+    from occformer_tpu.models.mask2former_head import mask_logits_from_embeds
+    masks = mask_logits_from_embeds(out["mask_embeds"], out["mask_feature"])
+    assert masks.shape == (L, 1, Q, X, Y, Z)
     D = 8
     fH, fW = (s // tiny_cfg.DOWNSAMPLE for s in tiny_cfg.INPUT_SIZE)
     assert out["depth_prob"].shape == (tiny_cfg.NUM_CAMS, fH, fW, D)
@@ -46,11 +51,14 @@ def test_forward_shapes(model_and_params):
 
 
 def test_format_results_prob_simplex(model_and_params):
-    from occformer_tpu.models.mask2former_head import format_results
+    from occformer_tpu.models.mask2former_head import (
+        format_results, mask_logits_from_embeds,
+    )
 
     model, variables, batch = model_and_params
     out = model.apply(variables, batch)
-    voxels = format_results(out["cls_preds"][-1], out["mask_preds"][-1])
+    final = mask_logits_from_embeds(out["mask_embeds"][-1], out["mask_feature"])
+    voxels = format_results(out["cls_preds"][-1], final)
     X, Y, Z = tiny_cfg.VOXEL_GRID
     assert voxels.shape == (1, X, Y, Z, tiny_cfg.NUM_CLASSES)
     assert np.isfinite(np.asarray(voxels)).all()

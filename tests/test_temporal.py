@@ -54,5 +54,5 @@ def test_occupancyformer4d_forward():
     variables = model.init(jax.random.PRNGKey(0), batch)
     out = model.apply(variables, batch)
     X, Y, Z = tiny_cfg.VOXEL_GRID
-    assert out["mask_preds"].shape[-3:] == (X, Y, Z)
+    assert out["mask_feature"].shape[1:4] == (X, Y, Z)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()

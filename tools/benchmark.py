@@ -36,11 +36,15 @@ def main():
     model, batch = _flagship_model_and_batch(jnp.bfloat16, args.batch_size)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
-    from occformer_tpu.models.mask2former_head import format_results
+    from occformer_tpu.models.mask2former_head import (
+        format_results, mask_logits_from_embeds,
+    )
 
     def full(variables, batch):
         out = model.apply(variables, batch)
-        return format_results(out["cls_preds"][-1], out["mask_preds"][-1])
+        final_mask = mask_logits_from_embeds(out["mask_embeds"][-1],
+                                             out["mask_feature"])
+        return format_results(out["cls_preds"][-1], final_mask)
 
     jfull = jax.jit(full)
     jfull(variables, batch).block_until_ready()

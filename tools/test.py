@@ -21,12 +21,16 @@ def parse_args():
                    help="write leaderboard submission files here")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

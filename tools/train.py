@@ -28,12 +28,16 @@ def parse_args():
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap total steps (debug)")
     p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from occformer_tpu.config import load_config, parse_override_value
