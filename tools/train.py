@@ -129,6 +129,37 @@ def main():
         donate_argnums=(0,),
     )
 
+    # per-epoch eval + best-checkpoint tracking (reference OccDistEvalHook,
+    # core/evaluation/eval_hooks.py:27-88 with evaluation.save_best)
+    eval_cfg = cfg.get("evaluation", {}) or {}
+    eval_every = eval_cfg.get("interval", 0)
+    save_best_key = eval_cfg.get("save_best")
+    best_metric = -float("inf")
+
+    def run_eval(state):
+        from occformer_tpu.engine.eval import evaluate, format_iou_table
+
+        val_cfg = cfg.get("data", {}).get("val")
+        if not val_cfg:
+            return None
+        val_ds = build_from_cfg(dict(val_cfg), DATASETS)
+        val_loader = build_dataloader(
+            val_ds, samples_per_gpu=1, shuffle=False,
+            num_hosts=n_hosts, host_id=jax.process_index(),
+            max_points=cfg.get("max_lidar_points", 35000),
+        )
+        eval_model = model.clone(train=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        results = evaluate(
+            eval_model, variables, val_loader,
+            occ_size=tuple(cfg.get("occ_size", (32, 32, 16))),
+            num_classes=cfg.get("num_class", 17),
+            class_names=cfg.get("class_names"),
+            compute_ssc="semkitti" in str(save_best_key).lower(),
+        )
+        print(format_iou_table(results))
+        return results
+
     log_every = cfg.get("log_config", {}).get("interval", 50)
     step = int(state.step)
     with mesh:
@@ -149,6 +180,14 @@ def main():
                     break
             save_checkpoint(os.path.join(work_dir, "ckpts"), jax.device_get(state),
                             step, cfg.get("checkpoint_config", {}).get("max_keep_ckpts", 1))
+            if eval_every and (epoch + 1) % eval_every == 0 and not args.max_steps:
+                results = run_eval(state)
+                if results and save_best_key and save_best_key in results:
+                    if results[save_best_key] > best_metric:
+                        best_metric = results[save_best_key]
+                        save_checkpoint(os.path.join(work_dir, "best"),
+                                        jax.device_get(state), step, 1)
+                        print(f"new best {save_best_key}={best_metric:.4f}")
             if args.max_steps and step >= args.max_steps:
                 break
     print("training done at step", step)
