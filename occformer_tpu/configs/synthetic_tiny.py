@@ -90,7 +90,7 @@ model = dict(
 
 data = dict(
     samples_per_gpu=1,
-    train=dict(type="SyntheticOccDataset", num_samples=4, num_cams=2,
+    train=dict(type="SyntheticOccDataset", num_samples=16, num_cams=2,
                input_size=data_config["input_size"], occ_size=occ_size,
                num_classes=num_class, pc_range=point_cloud_range),
 )
