@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import point_sample_3d
-from .matching import hungarian_match, mask_matching_cost
+from .matching import auction_match, hungarian_match, mask_matching_cost
 from .point_sampling import (
     gumbel_topk_sample,
     sample_with_frequencies,
@@ -170,7 +170,9 @@ def _loss_single_sample(
         cls_weight=cfg.cls_cost_weight, mask_weight=cfg.mask_cost_weight,
         dice_weight=cfg.dice_cost_weight, dice_eps=cfg.dice_eps,
     )
-    assign_q = hungarian_match(cost, gt_valid)  # [G], -1 for invalid
+    # device-side auction assignment: the TPU backend here rejects host
+    # callbacks, and an on-device solve also avoids a per-layer host sync
+    assign_q = auction_match(cost, gt_valid)  # [G], -1 for invalid
 
     # ---- 2. classification targets --------------------------------------
     class_weight = jnp.asarray(cfg.class_weight, jnp.float32)

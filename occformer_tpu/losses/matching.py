@@ -81,6 +81,66 @@ def _lsa_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return out
 
 
+def auction_match(cost: jnp.ndarray, gt_valid: jnp.ndarray,
+                  eps_scale: float = 1e-4, max_iters: int = 5000) -> jnp.ndarray:
+    """Device-side assignment via Bertsekas' auction algorithm (pure XLA).
+
+    Replaces the host scipy solve where host callbacks are unavailable (the
+    axon PJRT backend rejects pure_callback).  Bidders are the valid GT
+    columns (G <= ~100), objects are the queries (Q); with
+    eps < min-cost-gap / G the result is the exact optimum, and with the
+    default scale it is optimal to ~0.01% of the cost range — well below any
+    effect on training (the reference's own CPU float ties are similarly
+    arbitrary, mask_hungarian_assigner.py:110-117).
+
+    cost: [Q, G]; gt_valid: [G].  Returns [G] assigned query index (-1 invalid).
+    """
+    cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    Q, G = cost.shape
+    value = -cost.T  # [G, Q] bidder-major values to maximize
+    rng_range = jnp.maximum(
+        jnp.max(jnp.where(gt_valid[:, None], value, -jnp.inf))
+        - jnp.min(jnp.where(gt_valid[:, None], value, jnp.inf)), 1e-6,
+    )
+    eps = rng_range * eps_scale / jnp.maximum(G, 1)
+
+    # state: prices [Q], owner [Q] (bidder idx or -1), assign [G] (object or -1)
+    def cond(state):
+        it, prices, owner, assign = state
+        unassigned = (assign < 0) & gt_valid
+        return jnp.any(unassigned) & (it < max_iters)
+
+    def body(state):
+        it, prices, owner, assign = state
+        unassigned = (assign < 0) & gt_valid
+        # pick the first unassigned valid bidder
+        i = jnp.argmax(unassigned)
+        vals = value[i] - prices  # [Q]
+        j1 = jnp.argmax(vals)
+        v1 = vals[j1]
+        vals2 = vals.at[j1].set(-jnp.inf)
+        v2 = jnp.max(vals2)
+        bid = prices[j1] + (v1 - v2) + eps
+        # previous owner of j1 loses it
+        prev = owner[j1]
+        assign = jnp.where(
+            prev >= 0, assign.at[jnp.maximum(prev, 0)].set(-1), assign
+        )
+        assign = assign.at[i].set(j1)
+        owner = owner.at[j1].set(i)
+        prices = prices.at[j1].set(bid)
+        return it + 1, prices, owner, assign
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((Q,), jnp.float32),
+        jnp.full((Q,), -1, jnp.int32),
+        jnp.full((G,), -1, jnp.int32),
+    )
+    _, _, _, assign = jax.lax.while_loop(cond, body, init)
+    return jnp.where(gt_valid, assign, -1).astype(jnp.int32)
+
+
 def hungarian_match(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
     """[..., Q, G] cost + [..., G] valid -> [..., G] assigned query (-1 invalid).
 

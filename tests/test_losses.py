@@ -141,3 +141,40 @@ def test_softmax_ce_with_class_weight_matches_torch(rng):
     ref = F.cross_entropy(torch.from_numpy(logits), torch.from_numpy(labels).long(),
                           weight=torch.from_numpy(cw), reduction="sum") / avg
     assert abs(ours - float(ref)) < 1e-5
+
+
+def test_auction_matches_scipy_optimal_cost(rng):
+    """Auction assignment reaches the scipy-optimal total cost on random
+    instances (ties aside, the assignment itself coincides)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from occformer_tpu.losses.matching import auction_match
+
+    for trial in range(20):
+        r = np.random.RandomState(trial)
+        Q, G = 12, 5
+        cost = r.randn(Q, G).astype(np.float32) * 3
+        valid = r.rand(G) > 0.2
+        if not valid.any():
+            valid[0] = True
+        assign = np.asarray(auction_match(jnp.asarray(cost), jnp.asarray(valid)))
+        # validity + one-to-one
+        assert (assign[~valid] == -1).all()
+        a = assign[valid]
+        assert (a >= 0).all() and len(set(a.tolist())) == valid.sum()
+        ours = cost[a, np.nonzero(valid)[0]].sum()
+        cols = np.nonzero(valid)[0]
+        ridx, cidx = linear_sum_assignment(cost[:, cols].astype(np.float64))
+        ref = cost[ridx, cols[cidx]].sum()
+        assert ours <= ref + 1e-3, (trial, ours, ref)
+
+
+def test_auction_under_vmap(rng):
+    from occformer_tpu.losses.matching import auction_match
+
+    B, Q, G = 4, 10, 4
+    cost = jnp.asarray(rng.randn(B, Q, G).astype(np.float32))
+    valid = jnp.ones((B, G), bool)
+    assign = np.asarray(jax.vmap(auction_match)(cost, valid))
+    for b in range(B):
+        assert len(set(assign[b].tolist())) == G
