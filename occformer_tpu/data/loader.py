@@ -48,6 +48,12 @@ def collate_batch(
     if samples[0].get("panoptic_ids") is not None:
         batch["panoptic_ids"] = np.stack(
             [s["panoptic_ids"] for s in samples]).astype(np.int32)
+    meta_keys = ("sample_idx", "sequence", "frame_id", "lidar_token",
+                 "scene_token", "timestamp")
+    batch["_meta"] = [
+        {k: s.get(k) for k in meta_keys if s.get(k) is not None}
+        for s in samples
+    ]
     if samples[0].get("points_occ") is not None:
         xyz_l, valid_l, label_l = [], [], []
         pcr = np.asarray(

@@ -77,15 +77,22 @@ def evaluate(
     class_names=None,
     compute_ssc: bool = False,
     invalid_label: int = 255,
+    save_cb=None,
 ) -> Dict[str, Any]:
-    """Full-split evaluation: lidarseg IoU table and/or SSC metrics."""
+    """Full-split evaluation: lidarseg IoU table and/or SSC metrics.
+
+    ``save_cb(out, meta_list, batch)`` runs per batch on host — used by the
+    submission writers (reference apis/test.py:161-167)."""
     step = build_eval_step(model, occ_size, num_classes)
     cm = np.zeros((num_classes, num_classes), np.int64)
     ssc = SSCMetrics(num_classes) if compute_ssc else None
 
     for batch in loader:
         gt_occ = batch.pop("gt_occ", None)
+        meta = batch.pop("_meta", None)
         out = step(variables, batch)
+        if save_cb is not None:
+            save_cb(out, meta, batch)
         if "confusion" in out:
             cm += np.asarray(out["confusion"])
         if ssc is not None and gt_occ is not None:

@@ -83,13 +83,48 @@ def main():
         variables = load_checkpoint(args.checkpoint, variables)
 
     is_kitti = "SemanticKITTI" in cfg["data"]["test"]["type"]
+
+    save_cb = None
+    if args.test_save:
+        from occformer_tpu.utils.semkitti_io import (
+            write_nusc_lidarseg_bin, write_submission_label,
+        )
+
+        def save_cb(out, meta, batch):
+            import numpy as _np
+
+            for bi, m in enumerate(meta or []):
+                if is_kitti:
+                    seq = m.get("sequence", "00")
+                    fid = m.get("frame_id", "000000")
+                    path = os.path.join(args.test_save, "sequences", seq,
+                                        "predictions", fid + ".label")
+                    write_submission_label(_np.asarray(out["voxel_pred"][bi]), path)
+                elif "point_pred" in out:
+                    token = m.get("lidar_token", m.get("sample_idx", f"s{bi}"))
+                    valid = _np.asarray(batch["lidar_valid"][bi])
+                    preds = _np.asarray(out["point_pred"][bi])[valid]
+                    path = os.path.join(args.test_save, "lidarseg", "test",
+                                        f"{token}_lidarseg.bin")
+                    write_nusc_lidarseg_bin(preds, path)
+
     results = evaluate(
         model, variables, loader,
         occ_size=tuple(cfg["occ_size"]),
         num_classes=cfg["num_class"],
         class_names=cfg.get("class_names"),
         compute_ssc=is_kitti,
+        save_cb=save_cb,
     )
+    if args.test_save and not is_kitti:
+        import json as _json
+
+        meta_file = os.path.join(args.test_save, "test", "submission.json")
+        os.makedirs(os.path.dirname(meta_file), exist_ok=True)
+        with open(meta_file, "w") as f:
+            _json.dump({"meta": dict(use_lidar=False, use_camera=True,
+                                     use_radar=False, use_map=False,
+                                     use_external=False)}, f)
     print(format_iou_table(results))
     print(json.dumps(results))
 

@@ -104,6 +104,7 @@ def main():
 
     # init from the first batch
     first = next(iter(loader))
+    first.pop("_meta", None)
     rng = jax.random.PRNGKey(args.seed)
     variables = jax.jit(model.init)({"params": rng, "dropout": rng}, first)
     tx = build_optimizer(
@@ -167,6 +168,7 @@ def main():
             loader.set_epoch(epoch)
             t0 = time.time()
             for batch in loader:
+                batch.pop("_meta", None)  # host-only metadata
                 batch = shard_batch(batch, mesh)
                 state, metrics = train_step(state, batch, rng)
                 step += 1
