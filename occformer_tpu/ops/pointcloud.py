@@ -221,6 +221,60 @@ def points_in_boxes(points: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return inx & iny & inz
 
 
+def roiaware_pool3d(
+    points: jnp.ndarray,       # [N, 3]
+    feats: jnp.ndarray,        # [N, C]
+    boxes: jnp.ndarray,        # [M, 7] (x, y, z, dx, dy, dz, yaw; z bottom)
+    out_size: int = 7,
+    mode: str = "max",
+    valid: Optional[jnp.ndarray] = None,  # [N]
+) -> jnp.ndarray:
+    """RoI-aware pooling: per box, pool point features into a T^3 grid.
+
+    TPU formulation of mmdet3d ops/roiaware_pool3d: canonicalize points into
+    each box frame, quantize to grid cells, segment-max/mean per cell.
+    Returns [M, T, T, T, C] (empty cells are 0).
+    """
+    M = boxes.shape[0]
+    T = out_size
+    C = feats.shape[-1]
+
+    def one_box(box):
+        ctr, dims, yaw = box[:3], box[3:6], box[6]
+        rel = points - ctr
+        c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+        lx = rel[:, 0] * c - rel[:, 1] * s
+        ly = rel[:, 0] * s + rel[:, 1] * c
+        lz = rel[:, 2]
+        # normalized cell coords in [0, T)
+        u = (lx / dims[0] + 0.5) * T
+        v = (ly / dims[1] + 0.5) * T
+        w = (lz / dims[2]) * T
+        inside = (u >= 0) & (u < T) & (v >= 0) & (v < T) & (w >= 0) & (w < T)
+        if valid is not None:
+            inside = inside & valid
+        cell = (u.astype(jnp.int32) * T + v.astype(jnp.int32)) * T + w.astype(jnp.int32)
+        cell = jnp.where(inside, cell, T ** 3)
+        if mode == "max":
+            pooled = jax.ops.segment_max(
+                jnp.where(inside[:, None], feats, -jnp.inf), cell,
+                num_segments=T ** 3 + 1,
+            )
+            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+        else:
+            sums = jax.ops.segment_sum(
+                jnp.where(inside[:, None], feats, 0.0), cell,
+                num_segments=T ** 3 + 1,
+            )
+            cnt = jax.ops.segment_sum(
+                inside.astype(feats.dtype), cell, num_segments=T ** 3 + 1
+            )
+            pooled = sums / jnp.maximum(cnt[:, None], 1.0)
+        return pooled[: T ** 3].reshape(T, T, T, C)
+
+    return jax.vmap(one_box)(boxes)
+
+
 def _box_corners_bev(boxes: jnp.ndarray) -> jnp.ndarray:
     """[..., 5] (x, y, dx, dy, yaw) -> [..., 4, 2] corners (ccw)."""
     x, y, dx, dy, yaw = (boxes[..., i] for i in range(5))

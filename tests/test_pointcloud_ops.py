@@ -174,3 +174,24 @@ def test_nms_bev_suppression():
     scores = jnp.asarray([0.9, 0.8, 0.7])
     keep = np.asarray(nms_bev(boxes, scores, 0.5))
     np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_roiaware_pool3d(rng):
+    from occformer_tpu.ops.pointcloud import roiaware_pool3d
+
+    # one axis-aligned box at origin, points with known cell memberships
+    boxes = jnp.asarray([[0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0]])
+    pts = jnp.asarray([
+        [-0.9, -0.9, 0.1],   # cell (0, 0, 0) for T=2
+        [0.9, 0.9, 1.9],     # cell (1, 1, 1)
+        [0.9, 0.9, 1.95],    # cell (1, 1, 1) too
+        [5.0, 5.0, 0.5],     # outside
+    ])
+    feats = jnp.asarray([[1.0], [2.0], [5.0], [9.0]])
+    out = np.asarray(roiaware_pool3d(pts, feats, boxes, out_size=2, mode="max"))
+    assert out.shape == (1, 2, 2, 2, 1)
+    assert out[0, 0, 0, 0, 0] == 1.0
+    assert out[0, 1, 1, 1, 0] == 5.0  # max of 2 and 5
+    assert out[0, 0, 1, 0, 0] == 0.0  # empty
+    out_avg = np.asarray(roiaware_pool3d(pts, feats, boxes, out_size=2, mode="avg"))
+    assert abs(out_avg[0, 1, 1, 1, 0] - 3.5) < 1e-6
