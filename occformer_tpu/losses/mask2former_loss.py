@@ -127,24 +127,24 @@ def _matching_points_nusc(rng, lidar_xyz, lidar_valid, cfg: MaskLossConfig):
     return jnp.concatenate([pts, rand2], axis=0)
 
 
-def _loss_single_sample(
+def _match_single_sample(
     rng,
     cls_score: jnp.ndarray,    # [Q, C+1]
     mask_pred: jnp.ndarray,    # [Q, X, Y, Z]
     gt_masks: jnp.ndarray,     # [G, X, Y, Z]
     gt_labels: jnp.ndarray,    # [G]
     gt_valid: jnp.ndarray,     # [G]
-    lidar_xyz: Optional[jnp.ndarray],    # [P, 3] in [0,1] or None
-    lidar_valid: Optional[jnp.ndarray],  # [P] or None
+    lidar_xyz: Optional[jnp.ndarray],
+    lidar_valid: Optional[jnp.ndarray],
     sample_weights: Optional[jnp.ndarray],
     cfg: MaskLossConfig,
-):
-    """Targets + per-sample partial sums for one (layer, sample)."""
-    Q = cls_score.shape[0]
+) -> jnp.ndarray:
+    """Matching only (reference _get_target_single assignment half): sampled
+    matching points -> cost matrix -> device auction.  Runs entirely outside
+    the differentiated program (the reference detaches the cost too)."""
     G = gt_masks.shape[0]
-    r_match, r_sup, r_sup2 = jax.random.split(rng, 3)
+    r_match, _ = jax.random.split(rng)
 
-    # ---- 1. matching points & cost --------------------------------------
     if cfg.use_lidar_points:
         pts = _matching_points_nusc(r_match, lidar_xyz, lidar_valid, cfg)
         mask_pts_pred = point_sample_3d(
@@ -172,7 +172,27 @@ def _loss_single_sample(
     )
     # device-side auction assignment: the TPU backend here rejects host
     # callbacks, and an on-device solve also avoids a per-layer host sync
-    assign_q = auction_match(cost, gt_valid)  # [G], -1 for invalid
+    return auction_match(cost, gt_valid)  # [G], -1 for invalid
+
+
+def _loss_single_sample(
+    rng,
+    cls_score: jnp.ndarray,    # [Q, C+1]
+    mask_pred: jnp.ndarray,    # [Q, X, Y, Z]
+    gt_masks: jnp.ndarray,     # [G, X, Y, Z]
+    gt_labels: jnp.ndarray,    # [G]
+    gt_valid: jnp.ndarray,     # [G]
+    assign_q: jnp.ndarray,     # [G] matched query (-1 invalid), precomputed
+    lidar_xyz: Optional[jnp.ndarray],    # [P, 3] in [0,1] or None
+    lidar_valid: Optional[jnp.ndarray],  # [P] or None
+    sample_weights: Optional[jnp.ndarray],
+    cfg: MaskLossConfig,
+):
+    """Targets + per-sample partial sums for one (layer, sample)."""
+    Q = cls_score.shape[0]
+    G = gt_masks.shape[0]
+    _, r_rest = jax.random.split(rng)
+    r_sup, r_sup2 = jax.random.split(r_rest)
 
     # ---- 2. classification targets --------------------------------------
     class_weight = jnp.asarray(cfg.class_weight, jnp.float32)
@@ -326,22 +346,37 @@ def mask2former_loss(
     sw_rng, rng = jax.random.split(rng)
     sample_weights = _resolve_sample_weights(sw_rng, cfg)
 
-    def one(l_rng, cls_l, mask_l):
+    def match_one(l_rng, cls_l, mask_l):
         keys = jax.random.split(l_rng, B)
-
         if cfg.use_lidar_points:
-            parts = jax.vmap(
-                lambda k, cs, mp, gm, gl, gv, lx, lv: _loss_single_sample(
+            return jax.vmap(
+                lambda k, cs, mp, gm, gl, gv, lx, lv: _match_single_sample(
                     k, cs, mp, gm, gl, gv, lx, lv, sample_weights, cfg
                 )
             )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid,
               lidar_xyz, lidar_valid)
+        return jax.vmap(
+            lambda k, cs, mp, gm, gl, gv: _match_single_sample(
+                k, cs, mp, gm, gl, gv, None, None, sample_weights, cfg
+            )
+        )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid)
+
+    def one(l_rng, cls_l, mask_l, assign_l):
+        keys = jax.random.split(l_rng, B)
+
+        if cfg.use_lidar_points:
+            parts = jax.vmap(
+                lambda k, cs, mp, gm, gl, gv, aq, lx, lv: _loss_single_sample(
+                    k, cs, mp, gm, gl, gv, aq, lx, lv, sample_weights, cfg
+                )
+            )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid, assign_l,
+              lidar_xyz, lidar_valid)
         else:
             parts = jax.vmap(
-                lambda k, cs, mp, gm, gl, gv: _loss_single_sample(
-                    k, cs, mp, gm, gl, gv, None, None, sample_weights, cfg
+                lambda k, cs, mp, gm, gl, gv, aq: _loss_single_sample(
+                    k, cs, mp, gm, gl, gv, aq, None, None, sample_weights, cfg
                 )
-            )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid)
+            )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid, assign_l)
         eps = jnp.finfo(jnp.float32).eps
         loss_cls = cfg.cls_loss_weight * jnp.sum(parts["cls_num"]) / jnp.maximum(
             jnp.sum(parts["cls_avg"]), eps)
@@ -356,16 +391,31 @@ def mask2former_loss(
     # layers), at 1/L of the HLO size and compile time
     layer_keys = jax.random.split(rng, L)
 
-    # remat the layer body: backward recomputes the per-layer mask volume and
-    # the (cheap) sampling instead of keeping every layer's buffers alive
-    @jax.checkpoint
-    def scan_body(carry, xs):
+    # phase A (no grad, like the reference's detached assigner): matching per
+    # layer — keeps the auction while_loop entirely out of the VJP
+    def match_body(carry, xs):
         k, cls_l, emb_l = xs
         mask_l = jnp.einsum("bqc,bxyzc->bqxyz", emb_l, mask_feature)
-        lc, lm, ld = one(k, cls_l, mask_l)
+        return carry, match_one(k, cls_l, mask_l)
+
+    _, assigns = jax.lax.scan(
+        match_body, None,
+        jax.lax.stop_gradient((layer_keys, cls_preds, mask_embeds)),
+    )  # [L, B, G]
+
+    # phase B (differentiated, remat'd): losses given the assignments;
+    # backward recomputes the per-layer mask volume and the cheap sampling
+    # instead of keeping every layer's buffers alive
+    @jax.checkpoint
+    def scan_body(carry, xs):
+        k, cls_l, emb_l, assign_l = xs
+        mask_l = jnp.einsum("bqc,bxyzc->bqxyz", emb_l, mask_feature)
+        lc, lm, ld = one(k, cls_l, mask_l, assign_l)
         return carry, jnp.stack([lc, lm, ld])
 
-    _, stacked = jax.lax.scan(scan_body, None, (layer_keys, cls_preds, mask_embeds))
+    _, stacked = jax.lax.scan(
+        scan_body, None, (layer_keys, cls_preds, mask_embeds, assigns)
+    )
 
     losses: Dict[str, jnp.ndarray] = {}
     for l in range(L):
