@@ -78,7 +78,12 @@ class BasicResBlock(nn.Module):
                  use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = Conv(self.planes, (3, 3), use_bias=False, dtype=self.dtype, name="conv2")(y)
+        if self.with_dcn:  # mmdet applies dcn to the second 3x3 of BasicBlock
+            y = DeformConv2d(self.planes, kernel_size=3, modulated=True,
+                             dtype=self.dtype, name="conv2")(y)
+        else:
+            y = Conv(self.planes, (3, 3), use_bias=False, dtype=self.dtype,
+                     name="conv2")(y)
         y = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="bn2")(y)
         if self.has_downsample:
             identity = Conv(self.planes, (1, 1), strides=(self.stride, self.stride),

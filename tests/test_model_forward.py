@@ -62,3 +62,19 @@ def test_format_results_prob_simplex(model_and_params):
     X, Y, Z = tiny_cfg.VOXEL_GRID
     assert voxels.shape == (1, X, Y, Z, tiny_cfg.NUM_CLASSES)
     assert np.isfinite(np.asarray(voxels)).all()
+
+
+def test_resnet_dcn_stages_forward():
+    """R101-DCN path: DCNv2 stages produce the same shapes as plain convs."""
+    from occformer_tpu.models.resnet import ResNet
+
+    m = ResNet(depth=18, dcn_stages=(2, 3))
+    x = jnp.zeros((1, 32, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert outs[2].shape == (1, 2, 4, 256)
+    assert outs[3].shape == (1, 1, 2, 512)
+    # DCN params present in stages 3-4 only
+    p = v["params"]
+    assert "conv_offset" in p["layer3_0"]["conv2"]
+    assert "conv_offset" not in p["layer1_0"].get("conv2", {})

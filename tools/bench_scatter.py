@@ -29,7 +29,7 @@ def main():
     rng = np.random.RandomState(0)
 
     depth = jnp.asarray(rng.rand(B, N, D, fH, fW).astype(np.float32))
-    ctx = jnp.asarray(rng.randn(B, N, fH, fW, C).astype(np.bfloat16))
+    ctx = jnp.asarray(rng.randn(B, N, fH, fW, C).astype(np.float32)).astype(jnp.bfloat16)
     coords = jnp.asarray(rng.randint(-4, 132, (B, N, D, fH, fW, 3)).astype(np.int32))
     valid = jnp.all((coords >= 0) & (coords < jnp.asarray([X, Y, Z])), axis=-1)
 
