@@ -14,4 +14,5 @@ from .mask2former_head import (  # noqa: F401
     Mask2FormerNuscPanopticOccHead,
 )
 from .efficientnet import CustomEfficientNet  # noqa: F401
+from .bevstereo import DepthNetStereo, ViewTransformerLSSBEVStereo  # noqa: F401
 from .detector import OccupancyFormer  # noqa: F401
