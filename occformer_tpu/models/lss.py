@@ -142,6 +142,7 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
     loss_depth_weight: float = 1.0
     loss_depth_type: str = "bce"
     use_dcn: bool = True
+    use_voxel_net: bool = False
     train: bool = False
     dtype: Any = jnp.float32
     # accepted for config parity
@@ -168,6 +169,12 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
             dtype=self.dtype,
             name="depth_net",
         )
+        if self.use_voxel_net:
+            # reference ViewTransformerLSSBEVDepth.py:574-576
+            self.depth_aggregation_net = DepthAggregation(
+                mid_channels=self.numC_Trans, out_channels=self.numC_Trans,
+                train=self.train, dtype=self.dtype,
+                name="depth_aggregation_net")
 
     def __call__(self, x, rots, trans, intrins, post_rots, post_trans, bda):
         B, N, fH, fW, Cin = x.shape
@@ -185,13 +192,32 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
 
         depth_bn = depth_prob.reshape(B, N, fH, fW, self.D)
         depth_bn = jnp.moveaxis(depth_bn, -1, 2)  # [B, N, D, fH, fW]
-        volume = voxel_scatter_lifted(
-            depth_bn.astype(self.dtype),
-            ctx.reshape(B, N, fH, fW, self.numC_Trans),
-            coords,
-            valid,
-            self.nx,
-        )
+        if self.use_voxel_net:
+            # Materialize the lifted volume and refine it with DepthAggregation
+            # over per-(n, h) planes (reference _forward_voxel_net :578-589:
+            # [n, c, d, h, w] -> conv2d over (w, d) planes).  This path trades
+            # the fused lift-scatter for the extra refinement convs.
+            lifted = depth_bn[..., None] * ctx.reshape(
+                B, N, 1, fH, fW, self.numC_Trans).astype(self.dtype)
+            planes = jnp.moveaxis(lifted, 2, 4)  # [B, N, fH, fW, D, C]
+            planes = planes.reshape(B * N * fH, fW, self.D, self.numC_Trans)
+            planes = self.depth_aggregation_net(planes)
+            lifted = planes.reshape(B, N, fH, fW, self.D, self.numC_Trans)
+            lifted = jnp.moveaxis(lifted, 4, 2)  # [B, N, D, fH, fW, C]
+            from ..ops.scatter import voxel_scatter
+
+            P = N * self.D * fH * fW
+            volume = voxel_scatter(
+                lifted.reshape(B, P, self.numC_Trans),
+                coords.reshape(B, P, 3), valid.reshape(B, P), self.nx)
+        else:
+            volume = voxel_scatter_lifted(
+                depth_bn.astype(self.dtype),
+                ctx.reshape(B, N, fH, fW, self.numC_Trans),
+                coords,
+                valid,
+                self.nx,
+            )
         return volume, depth_prob
 
     # ---- depth supervision -------------------------------------------------
