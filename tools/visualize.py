@@ -70,14 +70,47 @@ def render(pred: np.ndarray, gt: np.ndarray = None, out_path: str = "viz.png",
     plt.close(fig)
 
 
+def render_video(npz_files, out_path: str, fps: int = 4):
+    """Stitch per-sample BEV renderings into an animated GIF.
+
+    Replaces the reference's per-scene mayavi video demo
+    (projects/mmdet3d_plugin/visualize/visualize_nusc_video.py): feed it the
+    scene-sorted predictions (see tools/prepare_video_infos.py) and it emits
+    one animation.  GIF via PIL keeps the tool dependency-free (no ffmpeg).
+    """
+    from PIL import Image
+
+    frames = []
+    for f in npz_files:
+        data = np.load(f)
+        rgb = bev_class_map(data["pred"]).transpose(1, 0, 2)[::-1]
+        frames.append(Image.fromarray(rgb).resize(
+            (rgb.shape[1] * 3, rgb.shape[0] * 3), Image.NEAREST))
+    if not frames:
+        raise SystemExit("no input frames")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("npz", help=".npz with 'pred' (and optional 'gt') voxel labels")
+    p.add_argument("npz", nargs="+",
+                   help=".npz file(s) with 'pred' (and optional 'gt') voxel labels")
     p.add_argument("--out", default=None)
+    p.add_argument("--video", action="store_true",
+                   help="stitch all inputs (scene-sorted) into one GIF")
+    p.add_argument("--fps", type=int, default=4)
     args = p.parse_args()
-    data = np.load(args.npz)
-    out = args.out or os.path.splitext(args.npz)[0] + ".png"
-    render(data["pred"], data.get("gt"), out)
+    if args.video:
+        out = args.out or "scene.gif"
+        render_video(sorted(args.npz), out, fps=args.fps)
+    else:
+        for f in args.npz:
+            data = np.load(f)
+            out = (args.out if len(args.npz) == 1 and args.out
+                   else os.path.splitext(f)[0] + ".png")
+            render(data["pred"], data.get("gt"), out)
     print("wrote", out)
 
 
