@@ -167,6 +167,64 @@ def convert_depthnet(tb: TreeBuilder, sd, tp: str, dst: str):
         tb.conv(sd, tp + ".depth_conv.4", dst + "/depth_pred")
 
 
+def convert_efficientnet(tb: TreeBuilder, sd, tp: str, dst: str):
+    """CustomEfficientNet (efficientnet.py:275-533; mmcv ConvModule naming).
+
+    Torch layout: ``layers.0`` stem ConvModule, ``layers.{L}.{B}`` blocks
+    (InvertedResidual: expand_conv?/depthwise_conv/se/linear_conv;
+    EdgeResidual: conv1/conv2), optional trailing ConvModule (final 1x1).
+    Raw ``nn.Conv``s on our side live directly under their module name (no
+    Conv_0 wrapper); SE convs carry biases.
+    """
+
+    def conv(t, d):
+        tb.p(d + "/kernel", t2f_conv(sd[t + ".weight"]))
+        if t + ".bias" in sd:
+            tb.p(d + "/bias", sd[t + ".bias"])
+
+    pre = tp + "." if tp else ""
+    conv(f"{pre}layers.0.conv", f"{dst}/stem_conv")
+    tb.bn(sd, f"{pre}layers.0.bn", f"{dst}/stem_bn")
+
+    L = 1
+    while True:
+        base = f"{pre}layers.{L}"
+        if f"{base}.conv.weight" in sd:  # trailing final 1x1 ConvModule
+            conv(f"{base}.conv", f"{dst}/final_conv")
+            tb.bn(sd, f"{base}.bn", f"{dst}/final_bn")
+            break
+        if f"{base}.0.depthwise_conv.conv.weight" not in sd and \
+                f"{base}.0.conv1.conv.weight" not in sd:
+            break
+        B = 0
+        while True:
+            bb = f"{base}.{B}"
+            dd = f"{dst}/layer{L}_block{B}"
+            if f"{bb}.depthwise_conv.conv.weight" in sd:  # InvertedResidual
+                if f"{bb}.expand_conv.conv.weight" in sd:
+                    conv(f"{bb}.expand_conv.conv", f"{dd}/expand_conv")
+                    tb.bn(sd, f"{bb}.expand_conv.bn", f"{dd}/expand_bn")
+                conv(f"{bb}.depthwise_conv.conv", f"{dd}/dw_conv")
+                tb.bn(sd, f"{bb}.depthwise_conv.bn", f"{dd}/dw_bn")
+                if f"{bb}.se.conv1.conv.weight" in sd:
+                    conv(f"{bb}.se.conv1.conv", f"{dd}/se/reduce")
+                    conv(f"{bb}.se.conv2.conv", f"{dd}/se/expand")
+                conv(f"{bb}.linear_conv.conv", f"{dd}/project_conv")
+                tb.bn(sd, f"{bb}.linear_conv.bn", f"{dd}/project_bn")
+            elif f"{bb}.conv1.conv.weight" in sd:  # EdgeResidual
+                conv(f"{bb}.conv1.conv", f"{dd}/expand_conv")
+                tb.bn(sd, f"{bb}.conv1.bn", f"{dd}/expand_bn")
+                if f"{bb}.se.conv1.conv.weight" in sd:
+                    conv(f"{bb}.se.conv1.conv", f"{dd}/se/reduce")
+                    conv(f"{bb}.se.conv2.conv", f"{dd}/se/expand")
+                conv(f"{bb}.conv2.conv", f"{dd}/project_conv")
+                tb.bn(sd, f"{bb}.conv2.bn", f"{dd}/project_bn")
+            else:
+                break
+            B += 1
+        L += 1
+
+
 def convert_swin_block(tb: TreeBuilder, sd, tp: str, dst: str):
     tb.ln(sd, tp + ".norm1", dst + "/norm1")
     tb.p(dst + "/attn/w_msa/relative_position_bias_table",
@@ -198,11 +256,13 @@ def convert_occformer(sd: Dict[str, np.ndarray],
     """Full reference checkpoint -> {'params': ..., 'batch_stats': ...}."""
     tb = TreeBuilder()
 
-    # ---- image backbone (ResNet naming) ----
+    # ---- image backbone (ResNet or EfficientNet naming) ----
     if any(k.startswith("img_backbone.layer1") for k in sd):
         rp, rs = convert_resnet(sd, "img_backbone.")
         tb.params["backbone"] = rp
         tb.stats["backbone"] = rs
+    elif "img_backbone.layers.0.conv.weight" in sd:
+        convert_efficientnet(tb, sd, "img_backbone", "backbone")
 
     # ---- SECONDFPN ----
     i = 0

@@ -188,7 +188,10 @@ class EdgeResidual(nn.Module):
                       momentum=0.99, dtype=self.dtype, name="expand_bn")(y)
         y = nn.swish(y)
         if self.se_divisor > 0:
-            y = SqueezeExcite(mid, self.se_divisor, dtype=self.dtype, name="se")(y)
+            # reference edge-residual se ratio = se_ratio * expand_ratio on the
+            # expanded channels (efficientnet.py:478-486) = in_channels / se
+            y = SqueezeExcite(mid, self.se_divisor * self.expand_ratio,
+                              dtype=self.dtype, name="se")(y)
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="project_conv")(y)
         y = BatchNorm(use_running_average=not self.train, eps=1e-3,
