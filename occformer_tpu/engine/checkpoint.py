@@ -146,7 +146,16 @@ def convert_resnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Tuple[Dict, D
         n_convs = 3 if tpre + "conv3.weight" in sd else 2
         for ci in range(1, n_convs + 1):
             key = tpre + f"conv{ci}.weight"
-            if key in sd:  # plain conv
+            if tpre + f"conv{ci}.conv_offset.weight" in sd:
+                # DCNv2 block conv (mmdet ResNet dcn stages); channel-order
+                # permutation handled by the shared DCN converter
+                from .convert_weights import TreeBuilder, convert_dcn
+
+                tb = TreeBuilder()
+                convert_dcn(tb, sd, tpre + f"conv{ci}", f"conv{ci}",
+                            modulated=True)
+                bp[f"conv{ci}"] = tb.params[f"conv{ci}"]
+            elif key in sd:  # plain conv
                 bp[f"conv{ci}"] = {"Conv_0": {"kernel": t2f_conv(sd[key])}}
             p, s = convert_bn(sd, tpre + f"bn{ci}")
             bp[f"bn{ci}"] = {"BatchNorm_0": p}

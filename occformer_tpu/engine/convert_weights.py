@@ -129,14 +129,42 @@ def convert_aspp2d(tb: TreeBuilder, sd, tp: str, dst: str, norm: str):
     nm(sd, f"{tp}.bn1", f"{dst}/project_gn" if norm == "gn" else f"{dst}/project_bn")
 
 
-def convert_dcn(tb: TreeBuilder, sd, tp: str, dst: str):
-    """mmcv DCN (DeformConv2dPack): .weight (O, I/g, K, K), .conv_offset."""
+def _dcn_offset_perm(K: int, groups: int, modulated: bool) -> np.ndarray:
+    """Output-channel permutation mapping our conv_offset layout onto mmcv's.
+
+    mmcv (deform_conv kernels): per deform-group the offset channels are
+    interleaved (y_k, x_k) pairs per tap (channel g*2KK + 2k + {0,1}); the
+    DCNv2 mask third sits after all offsets (channel 2GKK + g*KK + k).
+    Ours (models/dcn.py): per group contiguous blocks [dy(KK), dx(KK), mask?].
+    """
+    KK = K * K
+    T = 3 if modulated else 2
+    perm = np.empty(groups * T * KK, np.int64)
+    for g in range(groups):
+        for t in range(T):
+            for k in range(KK):
+                ours = g * T * KK + t * KK + k
+                if t < 2:
+                    perm[ours] = g * 2 * KK + 2 * k + t
+                else:
+                    perm[ours] = 2 * groups * KK + g * KK + k
+    return perm
+
+
+def convert_dcn(tb: TreeBuilder, sd, tp: str, dst: str,
+                modulated: bool = False, deform_groups: int = 1):
+    """mmcv DCN/DCNv2 ((Modulated)DeformConv2dPack): .weight (O, I/g, K, K),
+    .conv_offset with mmcv's channel ordering (see _dcn_offset_perm)."""
     w = sd[tp + ".weight"]
     O, Ig, K, _ = w.shape
     tb.p(dst + "/weight", w.transpose(2, 3, 1, 0).reshape(K * K, Ig, O))
     if tp + ".bias" in sd:
         tb.p(dst + "/bias", sd[tp + ".bias"])
-    tb.conv(sd, tp + ".conv_offset", dst + "/conv_offset")
+    perm = _dcn_offset_perm(K, deform_groups, modulated)
+    ow = sd[tp + ".conv_offset.weight"][perm]
+    tb.p(dst + "/conv_offset/Conv_0/kernel", t2f_conv(ow))
+    if tp + ".conv_offset.bias" in sd:
+        tb.p(dst + "/conv_offset/Conv_0/bias", sd[tp + ".conv_offset.bias"][perm])
 
 
 def convert_depthnet(tb: TreeBuilder, sd, tp: str, dst: str):

@@ -172,7 +172,7 @@ class DepthNetStereo(nn.Module):
         dep = ASPP2D(mid_channels=self.mid_channels, train=self.train,
                      dtype=self.dtype, name="aspp")(dep)
         dep = DeformConv2d(self.mid_channels, kernel_size=3, padding=1,
-                           groups=4, use_bias=True, dtype=self.dtype,
+                           groups=4, use_bias=False, dtype=self.dtype,
                            name="dcn")(dep)
         mono = BasicBlock2D(self.mid_channels, train=self.train,
                             dtype=self.dtype, name="mono_block")(dep)

@@ -98,8 +98,9 @@ class DepthNet(nn.Module):
         dep = ASPP2D(mid_channels=self.mid_channels, train=self.train,
                      dtype=self.dtype, name="aspp")(dep)
         if self.use_dcn:
+            # mmcv DeformConv2d (v1, type='DCN') does not support bias
             dep = DeformConv2d(self.mid_channels, kernel_size=3, padding=1,
-                               groups=4, use_bias=True, dtype=self.dtype,
+                               groups=4, use_bias=False, dtype=self.dtype,
                                name="dcn")(dep)
         dep = Conv(self.depth_channels, (1, 1), dtype=self.dtype,
                    name="depth_pred")(dep)
