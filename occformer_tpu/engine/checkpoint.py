@@ -77,9 +77,16 @@ def t2f_conv(w: np.ndarray) -> np.ndarray:
 
 
 def t2f_deconv(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose (I, O, *K) -> flax ConvTranspose (*K, I, O)."""
+    """torch ConvTranspose (I, O, *K) -> flax ConvTranspose (*K, I, O).
+
+    flax ``nn.ConvTranspose`` (lax.conv_transpose, transpose_kernel=False)
+    convolves with the kernel as-is, whereas torch's ConvTranspose2d scatters
+    it — equivalent only after flipping every spatial axis (verified by
+    tests/test_secondfpn_convert.py numeric parity).
+    """
     nd = w.ndim
-    return np.transpose(w, tuple(range(2, nd)) + (0, 1))
+    t = np.transpose(w, tuple(range(2, nd)) + (0, 1))
+    return t[(slice(None, None, -1),) * (nd - 2)].copy()
 
 
 def t2f_linear(w: np.ndarray) -> np.ndarray:
