@@ -173,11 +173,17 @@ def convert_depthnet(tb: TreeBuilder, sd, tp: str, dst: str):
     tb.bn(sd, tp + ".reduce_conv.1", dst + "/reduce_bn")
     tb.conv(sd, tp + ".context_conv", dst + "/context_conv")
     tb.bn(sd, tp + ".bn", dst + "/bn_cam")
+    def lin1x1(t, d):
+        # torch 1x1 Conv2d (O, I, 1, 1) -> our Dense (I, O)
+        tb.p(d + "/Dense_0/kernel", t2f_linear(sd[t + ".weight"][:, :, 0, 0]))
+        if t + ".bias" in sd:
+            tb.p(d + "/Dense_0/bias", sd[t + ".bias"])
+
     for branch in ("depth", "context"):
         tb.linear(sd, f"{tp}.{branch}_mlp.fc1", f"{dst}/{branch}_mlp/fc1")
         tb.linear(sd, f"{tp}.{branch}_mlp.fc2", f"{dst}/{branch}_mlp/fc2")
-        tb.linear(sd, f"{tp}.{branch}_se.conv_reduce", f"{dst}/{branch}_se/conv_reduce")
-        tb.linear(sd, f"{tp}.{branch}_se.conv_expand", f"{dst}/{branch}_se/conv_expand")
+        lin1x1(f"{tp}.{branch}_se.conv_reduce", f"{dst}/{branch}_se/conv_reduce")
+        lin1x1(f"{tp}.{branch}_se.conv_expand", f"{dst}/{branch}_se/conv_expand")
     # depth_conv: 0-2 BasicBlocks, 3 ASPP, 4 DCN, 5 1x1
     for i in range(3):
         bp = f"{tp}.depth_conv.{i}"

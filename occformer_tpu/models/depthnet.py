@@ -21,15 +21,17 @@ from .layers import BasicBlock2D, BatchNorm, Conv, Linear, Mlp, SELayer
 
 
 class ASPP2D(nn.Module):
-    """Atrous spatial pyramid pooling with residual (reference aspp.py:49-130).
+    """Atrous spatial pyramid pooling (DepthNet variant).
 
-    1x1 + three dilated 3x3 branches + global-average branch, concat, 1x1,
-    residual add.  Norm is BN here (DepthNet usage) — the 3D-encoder variant
-    with GN lives in models/aspp.py.
+    1x1 + three dilated 3x3 branches + global-average branch, concat, 1x1.
+    The DepthNet ASPP (reference ViewTransformerLSSBEVDepth.py:337-409) has
+    NO residual add — unlike the 3D-encoder ASPP (aspp.py:49-130, see
+    models/aspp.py) which ends with ``identity + dropout(x)``.  Norm is BN.
     """
 
     mid_channels: Optional[int] = None
     dilations: tuple = (1, 6, 12, 18)
+    residual: bool = False
     train: bool = False
     dtype: Any = jnp.float32
 
@@ -58,7 +60,7 @@ class ASPP2D(nn.Module):
         y = jnp.concatenate([x1, x2, x3, x4, g], axis=-1)
         y = Conv(C, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(y)
         y = nn.relu(bn("project_bn")(y))
-        return x + y
+        return x + y if self.residual else y
 
 
 class DepthNet(nn.Module):
