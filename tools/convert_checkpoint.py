@@ -20,6 +20,10 @@ def main():
     p.add_argument("config")
     p.add_argument("pth")
     p.add_argument("out_dir")
+    p.add_argument("--allow-missing", action="store_true",
+                   help="proceed even if some model leaves were left at init "
+                        "(default: any mismatch is a hard error — silent "
+                        "partial conversions produce silently-wrong accuracy)")
     args = p.parse_args()
 
     import jax
@@ -70,7 +74,12 @@ def main():
                                   variables.get("batch_stats", {}))
     for msg in msgs_p + msgs_s:
         print("WARN:", msg)
-    print(f"{len(msgs_p) + len(msgs_s)} leaves left at init")
+    n_bad = len(msgs_p) + len(msgs_s)
+    print(f"{n_bad} leaves left at init")
+    if n_bad and not args.allow_missing:
+        raise SystemExit(
+            f"conversion incomplete ({n_bad} leaves); rerun with "
+            "--allow-missing to save anyway")
 
     from occformer_tpu.engine.checkpoint import save_checkpoint
 
