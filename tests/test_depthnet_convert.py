@@ -118,19 +118,19 @@ class NpDCN(tnn.Module):
 
 
 class TorchDepthNet(tnn.Module):
-    def __init__(self):
+    def __init__(self, mid=MID, ctx=CTX, d=D, cam=CAM):
         super().__init__()
         self.reduce_conv = tnn.Sequential(
-            tnn.Conv2d(MID, MID, 3, padding=1), tnn.BatchNorm2d(MID), tnn.ReLU())
-        self.bn = tnn.BatchNorm1d(CAM)
-        self.depth_mlp = Mlp(CAM, MID, MID)
-        self.depth_se = SELayer(MID)
-        self.context_mlp = Mlp(CAM, MID, MID)
-        self.context_se = SELayer(MID)
-        self.context_conv = tnn.Conv2d(MID, CTX, 1)
+            tnn.Conv2d(mid, mid, 3, padding=1), tnn.BatchNorm2d(mid), tnn.ReLU())
+        self.bn = tnn.BatchNorm1d(cam)
+        self.depth_mlp = Mlp(cam, mid, mid)
+        self.depth_se = SELayer(mid)
+        self.context_mlp = Mlp(cam, mid, mid)
+        self.context_se = SELayer(mid)
+        self.context_conv = tnn.Conv2d(mid, ctx, 1)
         self.depth_conv = tnn.Sequential(
-            BasicBlock(MID), BasicBlock(MID), BasicBlock(MID),
-            ASPP(MID, MID), NpDCN(MID, groups=4), tnn.Conv2d(MID, D, 1))
+            BasicBlock(mid), BasicBlock(mid), BasicBlock(mid),
+            ASPP(mid, mid), NpDCN(mid, groups=4), tnn.Conv2d(mid, d, 1))
 
     def forward(self, x, mlp_input):
         mlp_input = self.bn(mlp_input)

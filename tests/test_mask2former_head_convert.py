@@ -38,36 +38,36 @@ SHAPES = [(8, 8, 4), (4, 4, 2), (2, 2, 1)]  # fine -> coarse
 
 
 class TorchLayer(_BaseLayer):
-    """Same bricks, sized for this test (C=30, FFC=2C)."""
+    """Same bricks, sized per ctor (default C=30, FFC=2C)."""
 
-    def __init__(self):
+    def __init__(self, c=C, nh=NH):
         tnn.Module.__init__(self)
         self.attentions = tnn.ModuleList()
         for _ in range(2):
             m = tnn.Module()
-            m.attn = tnn.MultiheadAttention(C, NH)
+            m.attn = tnn.MultiheadAttention(c, nh)
             self.attentions.append(m)
-        self.norms = tnn.ModuleList([tnn.LayerNorm(C) for _ in range(3)])
+        self.norms = tnn.ModuleList([tnn.LayerNorm(c) for _ in range(3)])
         ffn = tnn.Module()
         ffn.layers = tnn.Sequential(
-            tnn.Sequential(tnn.Linear(C, 2 * C)), tnn.Linear(2 * C, C))
+            tnn.Sequential(tnn.Linear(c, 2 * c)), tnn.Linear(2 * c, c))
         self.ffns = tnn.ModuleList([ffn])
 
 
 class TorchHead(tnn.Module):
-    def __init__(self):
+    def __init__(self, c=C, nq=NQ, nh=NH, nlayers=NLAYERS, ncls=NCLS):
         super().__init__()
-        self.query_embed = tnn.Embedding(NQ, C)
-        self.query_feat = tnn.Embedding(NQ, C)
-        self.level_embed = tnn.Embedding(3, C)
-        self.cls_embed = tnn.Linear(C, NCLS + 1)
+        self.query_embed = tnn.Embedding(nq, c)
+        self.query_feat = tnn.Embedding(nq, c)
+        self.level_embed = tnn.Embedding(3, c)
+        self.cls_embed = tnn.Linear(c, ncls + 1)
         self.mask_embed = tnn.Sequential(
-            tnn.Linear(C, C), tnn.ReLU(), tnn.Linear(C, C), tnn.ReLU(),
-            tnn.Linear(C, C))
+            tnn.Linear(c, c), tnn.ReLU(), tnn.Linear(c, c), tnn.ReLU(),
+            tnn.Linear(c, c))
         self.transformer_decoder = tnn.Module()
-        self.transformer_decoder.post_norm = tnn.LayerNorm(C)
+        self.transformer_decoder.post_norm = tnn.LayerNorm(c)
         self.transformer_decoder.layers = tnn.ModuleList(
-            [TorchLayer() for _ in range(NLAYERS)])
+            [TorchLayer(c, nh) for _ in range(nlayers)])
 
     def forward_head(self, q, mask_feature, target_size):
         d = self.transformer_decoder.post_norm(q).transpose(0, 1)

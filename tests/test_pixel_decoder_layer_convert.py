@@ -33,12 +33,12 @@ NQ = sum(x * y * z for x, y, z in SHAPES)
 class TorchMSDeformAttn3D(tnn.Module):
     """Reference module, batch-first, eval (dropout off)."""
 
-    def __init__(self):
+    def __init__(self, c=C, h=H, l=L, p=P):
         super().__init__()
-        self.sampling_offsets = tnn.Linear(C, H * L * P * 3)
-        self.attention_weights = tnn.Linear(C, H * L * P)
-        self.value_proj = tnn.Linear(C, C)
-        self.output_proj = tnn.Linear(C, C)
+        self.sampling_offsets = tnn.Linear(c, h * l * p * 3)
+        self.attention_weights = tnn.Linear(c, h * l * p)
+        self.value_proj = tnn.Linear(c, c)
+        self.output_proj = tnn.Linear(c, c)
 
     def forward(self, query, reference_points, query_pos):
         # reference_points here use the REFERENCE ordering: component 0

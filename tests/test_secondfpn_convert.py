@@ -23,10 +23,10 @@ STRIDES = (0.5, 1, 2, 4)
 
 
 class TorchSECONDFPN(tnn.Module):
-    def __init__(self):
+    def __init__(self, in_ch=IN_CH, out_ch=OUT_CH, strides=STRIDES):
         super().__init__()
         self.deblocks = tnn.ModuleList()
-        for cin, cout, s in zip(IN_CH, OUT_CH, STRIDES):
+        for cin, cout, s in zip(in_ch, out_ch, strides):
             if s >= 1:
                 si = int(s)
                 up = tnn.ConvTranspose2d(cin, cout, si, stride=si, bias=False)
