@@ -23,6 +23,26 @@ def test_train_cli_two_steps(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_resume(tmp_path):
+    """Auto-resume from the latest checkpoint in the work dir
+    (reference --resume-from semantics, apis/mmdet_train.py:195-198)."""
+    # under pytest the subprocess inherits the 8-device XLA_FLAGS from
+    # conftest -> batch 8 -> only 2 steps/epoch, so give the schedule
+    # enough epochs that step 4 exists
+    args = [sys.executable, os.path.join(REPO, "tools", "train.py"), CFG,
+            "--work-dir", str(tmp_path), "--cpu",
+            "--cfg-options", "runner.max_epochs=4"]
+    r = subprocess.run(args + ["--max-steps", "2"], capture_output=True,
+                       text=True, timeout=1500, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+    r2 = subprocess.run(args + ["--max-steps", "4"], capture_output=True,
+                        text=True, timeout=1500, cwd=REPO)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from" in r2.stdout and "at step 2" in r2.stdout
+    assert "training done at step 4" in r2.stdout
+
+
+@pytest.mark.slow
 def test_test_cli_synthetic(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "test.py"), CFG,
