@@ -51,3 +51,16 @@ def test_test_cli_synthetic(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "nuScenes_lidarseg_mean" in r.stdout
+
+
+@pytest.mark.slow
+def test_export_cli_stablehlo(tmp_path):
+    out = os.path.join(str(tmp_path), "tiny.stablehlo")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"), CFG,
+         "--out", out, "--cpu", "--verify"],
+        capture_output=True, text=True, timeout=1500, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "verify: output" in r.stdout
+    assert os.path.getsize(out) > 1e5
