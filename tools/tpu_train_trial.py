@@ -21,6 +21,7 @@ def main():
     p.add_argument("--num-points", type=int, default=12544 * 4)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--max-lidar", type=int, default=35000)
+    p.add_argument("--batch-size", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -46,7 +47,7 @@ def main():
         train=True,
         dtype=jnp.bfloat16,
     )
-    B, N = 1, 6
+    B, N = args.batch_size, 6
     H, W = cfg["data_config"]["input_size"]
     X, Y, Z = cfg["occ_size"]
     rng = np.random.RandomState(0)
