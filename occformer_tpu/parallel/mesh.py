@@ -16,6 +16,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed(force: bool = False) -> bool:
+    """Multi-host bootstrap: ``jax.distributed.initialize`` when running on a
+    pod (replaces the reference's torch.distributed launcher env handshake,
+    tools/train.py:164-171).  Auto-detects coordinator env vars; on Cloud TPU
+    pods ``initialize()`` discovers peers from the TPU metadata.  No-op on a
+    single host unless ``force``.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    want = force or any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+    )
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    except Exception as e:  # pragma: no cover - env-specific
+        print(f"jax.distributed.initialize failed ({e}); continuing single-host")
+        return False
+
+
 def make_mesh(axes: Sequence[str] = ("data",),
               shape: Optional[Sequence[int]] = None,
               devices=None) -> Mesh:

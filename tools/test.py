@@ -31,6 +31,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from occformer_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     import jax.numpy as jnp
     import numpy as np
 
