@@ -27,10 +27,12 @@ def maybe_init_distributed(force: bool = False) -> bool:
 
     if jax.process_count() > 1:
         return True
+    # NOTE: do not key off TPU_WORKER_HOSTNAMES — some environments set it
+    # to a warning string (observed on the axon tunnel)
     want = force or any(
         os.environ.get(k)
         for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                  "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+                  "MEGASCALE_COORDINATOR_ADDRESS")
     )
     if not want:
         return False
