@@ -78,12 +78,21 @@ def build_train_step(
     model,
     tx: optax.GradientTransformation,
     loss_cfg: MaskLossConfig,
+    accum_steps: int = 1,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: imgs/rots/trans/intrins/post_rots/post_trans/bda (+ gt_depth
     [B,N,H,W], gt_occ [B,X,Y,Z] int, optional lidar_xyz [B,P,3] in [0,1] and
     lidar_valid [B,P]).
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch's leading
+    axis (must be ``accum_steps * micro_B``) is split into microbatches,
+    gradients are averaged over a ``lax.scan`` before ONE optimizer update —
+    the effective-batch scaling path when one sample already fills a chip's
+    HBM (the flagship train step OOMs at B=2 per chip, NOTES.md).  BatchNorm
+    statistics thread through the scan, so each microbatch updates the
+    running stats exactly as ``accum_steps`` sequential B=micro_B steps would.
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -113,9 +122,46 @@ def build_train_step(
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        (total, (losses, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, rng)
+        if accum_steps == 1:
+            (total, (losses, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, rng)
+        else:
+            def split_micro(x):
+                B = x.shape[0]
+                assert B % accum_steps == 0, (
+                    f"batch {B} not divisible by accum_steps {accum_steps}")
+                return x.reshape(accum_steps, B // accum_steps, *x.shape[1:])
+
+            micro = {k: split_micro(v) for k, v in batch.items()}
+
+            def body(carry, xs):
+                bs, grad_sum, loss_sum, total_sum = carry
+                mb, mrng = xs
+                (tot, (ls, new_bs)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, bs, mb, mrng)
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
+                loss_sum = jax.tree_util.tree_map(jnp.add, loss_sum, ls)
+                return (new_bs, grad_sum, loss_sum, total_sum + tot), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.promote_types(p.dtype, jnp.float32)),
+                state.params)
+            # trace once to get the loss-dict structure for the accumulator
+            zero_losses = jax.eval_shape(
+                lambda: loss_fn(state.params, state.batch_stats,
+                                {k: v[0] for k, v in micro.items()}, rng)[1][0])
+            zero_losses = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), zero_losses)
+            rngs = jax.random.split(rng, accum_steps)
+            (new_bs, grad_sum, loss_sum, total_sum), _ = jax.lax.scan(
+                body, (state.batch_stats, zero_grads, zero_losses,
+                       jnp.zeros((), jnp.float32)), (micro, rngs))
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grad_sum)
+            losses = jax.tree_util.tree_map(lambda l: l * inv, loss_sum)
+            total = total_sum * inv
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)

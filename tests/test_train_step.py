@@ -79,3 +79,46 @@ def test_train_step_updates_params():
     # second step runs from the new state (shapes stable, no recompile error)
     new_state2, metrics2 = step(new_state, batch, jax.random.PRNGKey(1))
     assert int(new_state2.step) == 2
+
+
+@pytest.mark.slow
+def test_train_step_gradient_accumulation():
+    """accum_steps=2 on a duplicated-sample B=2 batch: runs under jit,
+    produces finite averaged losses, updates params, and is deterministic."""
+    cfg = tiny_cfg.model_cfg()
+    model = OccupancyFormer(
+        **{k: cfg[k] for k in (
+            "img_backbone", "img_neck", "img_view_transformer",
+            "img_bev_encoder_backbone", "img_bev_encoder_neck", "pts_bbox_head",
+        )},
+        train=True,
+    )
+    loss_cfg = build_loss_cfg(
+        cfg["pts_bbox_head"],
+        dict(num_points=64, oversample_ratio=2.0, importance_sample_ratio=0.75),
+    )
+    b1 = _train_batch(np.random.RandomState(0))
+    batch = {k: np.concatenate([b1[k], b1[k]], axis=0) for k in b1}
+
+    lr = step_lr_schedule(1e-4, steps_per_epoch=10, milestones_epochs=[20, 23])
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, b1)
+    tx = build_optimizer(variables["params"], lr=lr, grad_clip=5.0)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = jax.jit(build_train_step(model, tx, loss_cfg, accum_steps=2))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)), f"{k} not finite: {v}"
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    # deterministic
+    new_state2, metrics2 = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["total_loss"]),
+                               float(metrics2["total_loss"]), rtol=0, atol=0)

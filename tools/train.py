@@ -128,8 +128,10 @@ def main():
         print(f"resumed from {resume} at step {int(state.step)}")
 
     state = jax.device_put(state, rep)
+    # mmcv GradientCumulativeOptimizerHook parity: optimizer_config.cumulative_iters
+    accum = int(cfg.get("optimizer_config", {}).get("cumulative_iters", 1))
     train_step = jax.jit(
-        build_train_step(model, tx, loss_cfg),
+        build_train_step(model, tx, loss_cfg, accum_steps=accum),
         in_shardings=(rep, batch_sharding(mesh), rep),
         donate_argnums=(0,),
     )
