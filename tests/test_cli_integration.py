@@ -64,3 +64,36 @@ def test_export_cli_stablehlo(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "verify: output" in r.stdout
     assert os.path.getsize(out) > 1e5
+
+
+@pytest.mark.slow
+def test_train_cli_sigterm_checkpoint(tmp_path):
+    """SIGTERM mid-training saves a checkpoint and exits cleanly."""
+    import signal
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.join(REPO, "tools", "train.py"), CFG,
+         "--work-dir", str(tmp_path), "--cpu",
+         "--cfg-options", "log_config.interval=1", "runner.max_epochs=50"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+    )
+    try:
+        # wait for the first logged step, then request a graceful stop
+        deadline = time.time() + 1200
+        saw_step = False
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if '"step": 1' in line:
+                saw_step = True
+                break
+        assert saw_step, "never saw a training step"
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=600)
+        assert proc.returncode == 0, err[-3000:]
+        assert "preempted: checkpoint saved at step" in out
+        ckpts = os.path.join(str(tmp_path), "ckpts")
+        assert os.path.isdir(ckpts) and os.listdir(ckpts)
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -167,6 +167,22 @@ def main():
         print(format_iou_table(results))
         return results
 
+    # Preemption safety: SIGTERM/SIGINT triggers a checkpoint save + clean
+    # exit so preemptible TPU jobs resume losslessly (the reference can only
+    # resume from the last per-epoch checkpoint).
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _graceful_stop(signum, frame):
+        stop_requested["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _graceful_stop)
+        except ValueError:
+            pass  # non-main thread
+
     log_every = cfg.get("log_config", {}).get("interval", 50)
     step = int(state.step)
     with mesh:
@@ -174,6 +190,12 @@ def main():
             loader.set_epoch(epoch)
             t0 = time.time()
             for batch in loader:
+                if stop_requested["flag"]:
+                    save_checkpoint(os.path.join(work_dir, "ckpts"),
+                                    jax.device_get(state), step,
+                                    cfg.get("checkpoint_config", {}).get("max_keep_ckpts", 1))
+                    print(f"preempted: checkpoint saved at step {step}")
+                    return
                 batch.pop("_meta", None)  # host-only metadata
                 batch = shard_batch(batch, mesh)
                 state, metrics = train_step(state, batch, rng)
