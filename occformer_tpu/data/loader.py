@@ -156,3 +156,41 @@ def build_dataloader(dataset, samples_per_gpu=1, shuffle=True, seed=0,
         dataset, batch_size=samples_per_gpu, shuffle=shuffle, seed=seed,
         num_hosts=num_hosts, host_id=host_id, max_points=max_points,
     )
+
+
+def prefetch_to_mesh(iterator, mesh, axis: str = "data", size: int = 2,
+                     skip_keys: Sequence[str] = ("_meta",)):
+    """Keep ``size`` batches device-put ahead of the consumer.
+
+    Overlaps host->device transfer with the running step (the classic
+    flax ``prefetch_to_device`` pattern, extended to mesh shardings): each
+    batch is sharded on its leading axis over the mesh's ``axis`` before the
+    consumer asks for it, so the H2D copy of batch i+1 rides under the
+    compute of batch i.  Host-only entries in ``skip_keys`` are dropped.
+    """
+    import collections
+
+    import jax
+
+    from ..parallel.mesh import batch_sharding
+
+    sh = batch_sharding(mesh, axis)
+    buf = collections.deque()
+
+    def put(b):
+        b = {k: v for k, v in b.items() if k not in skip_keys}
+        return {k: jax.device_put(v, sh) for k, v in b.items()}
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -189,15 +189,16 @@ def main():
         for epoch in range(step // max(steps_per_epoch, 1), max_epochs):
             loader.set_epoch(epoch)
             t0 = time.time()
-            for batch in loader:
+            # device prefetch: batch i+1's H2D copy rides under step i's compute
+            from occformer_tpu.data.loader import prefetch_to_mesh
+
+            for batch in prefetch_to_mesh(loader, mesh):
                 if stop_requested["flag"]:
                     save_checkpoint(os.path.join(work_dir, "ckpts"),
                                     jax.device_get(state), step,
                                     cfg.get("checkpoint_config", {}).get("max_keep_ckpts", 1))
                     print(f"preempted: checkpoint saved at step {step}")
                     return
-                batch.pop("_meta", None)  # host-only metadata
-                batch = shard_batch(batch, mesh)
                 state, metrics = train_step(state, batch, rng)
                 step += 1
                 if step % log_every == 0:
