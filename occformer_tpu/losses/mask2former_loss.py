@@ -24,18 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import point_sample_3d
-from .matching import auction_match, hungarian_match, mask_matching_cost
+from .matching import auction_match, mask_matching_cost
 from .point_sampling import (
     gumbel_topk_sample,
     sample_with_frequencies,
     uncertainty_sample_coords,
     unravel_3d,
 )
-from .seg_losses import (
-    binary_cross_entropy_with_logits,
-    dice_loss,
-    softmax_cross_entropy,
-)
+from .seg_losses import dice_loss
 
 
 @dataclasses.dataclass(frozen=True)

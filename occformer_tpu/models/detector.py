@@ -222,8 +222,6 @@ class OccupancyFormer4D(OccupancyFormer):
     """
 
     def extract_feat(self, batch):
-        from .depthnet import get_mlp_input
-
         imgs = batch["imgs"]
         B, N2, H, W, _ = imgs.shape
         N = N2 // 2

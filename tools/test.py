@@ -41,7 +41,7 @@ def main():
     from occformer_tpu.config import load_config, parse_override_value
     from occformer_tpu.data.loader import build_dataloader
     from occformer_tpu.engine.checkpoint import load_checkpoint
-    from occformer_tpu.engine.eval import build_eval_step, evaluate, format_iou_table
+    from occformer_tpu.engine.eval import evaluate, format_iou_table
     from occformer_tpu.models.detector import OccupancyFormer
     from occformer_tpu.registry import DATASETS, build_from_cfg
 

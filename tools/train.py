@@ -51,11 +51,11 @@ def main():
     )
     from occformer_tpu.engine.optim import build_optimizer, step_lr_schedule
     from occformer_tpu.engine.train import (
-        TrainState, build_loss_cfg, build_train_step, init_train_state,
+        TrainState, build_loss_cfg, build_train_step,
     )
     from occformer_tpu.models.detector import OccupancyFormer
     from occformer_tpu.parallel.mesh import (
-        batch_sharding, make_mesh, replicate_sharding, shard_batch,
+        batch_sharding, make_mesh, replicate_sharding,
     )
     from occformer_tpu.registry import DATASETS, build_from_cfg
 
