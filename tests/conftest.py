@@ -16,6 +16,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# persistent compilation cache: the tiny-model programs recompile across
+# many tests/subprocesses; caching them cuts the suite wall time
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

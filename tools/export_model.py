@@ -34,6 +34,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from occformer_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from jax import export as jexport

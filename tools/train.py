@@ -39,6 +39,10 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from occformer_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from occformer_tpu.parallel.mesh import maybe_init_distributed
 
     maybe_init_distributed()
