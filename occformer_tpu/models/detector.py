@@ -115,8 +115,13 @@ def translate_cfg(cfg: Dict, train: bool, dtype) -> Tuple[Any, Dict]:
             num_groups=(cfg.get("norm_cfg") or {}).get("num_groups", 32),
         )
         return MSDeformAttnPixelDecoder3D, kwargs
-    if t in ("Mask2FormerOccHead", "Mask2FormerNuscOccHead"):
-        from .mask2former_head import Mask2FormerNuscOccHead, Mask2FormerOccHead
+    if t in ("Mask2FormerOccHead", "Mask2FormerNuscOccHead",
+             "Mask2FormerNuscPanopticOccHead"):
+        from .mask2former_head import (
+            Mask2FormerNuscOccHead,
+            Mask2FormerNuscPanopticOccHead,
+            Mask2FormerOccHead,
+        )
         dec = cfg.get("transformer_decoder", {}) or {}
         attn = (dec.get("transformerlayers", {}) or {}).get("attn_cfgs", {}) or {}
         kwargs = dict(
@@ -135,6 +140,12 @@ def translate_cfg(cfg: Dict, train: bool, dtype) -> Tuple[Any, Dict]:
             loss_mask=dict(cfg.get("loss_mask") or {}),
             loss_dice=dict(cfg.get("loss_dice") or {}),
         )
+        if t == "Mask2FormerNuscPanopticOccHead":
+            kwargs.update(
+                stuff_indices=cfg.get("stuff_indices"),
+                thing_indices=cfg.get("thing_indices"),
+            )
+            return Mask2FormerNuscPanopticOccHead, kwargs
         cls = Mask2FormerNuscOccHead if t == "Mask2FormerNuscOccHead" else Mask2FormerOccHead
         return cls, kwargs
     raise KeyError(f"no translation for component type {t}")

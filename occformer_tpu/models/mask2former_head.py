@@ -222,6 +222,10 @@ class Mask2FormerNuscPanopticOccHead(Mask2FormerNuscOccHead):
     host-side panoptic formatting (utils/panoptic.py)
     (mask2former_nusc_panoptic_occ.py:25-835)."""
 
+    # consumed by the panoptic GT/formatting side (config parity)
+    stuff_indices: Any = None
+    thing_indices: Any = None
+
 
 def format_results(cls_logits: jnp.ndarray, mask_logits: jnp.ndarray) -> jnp.ndarray:
     """softmax(cls)[:-1] · sigmoid(mask) -> per-class voxel scores.

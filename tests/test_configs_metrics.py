@@ -11,7 +11,11 @@ CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "occformer_tpu", "config
 CONFIGS = [
     "occformer_nusc_r50_256x704.py",
     "occformer_nusc_r101_896x1600.py",
+    "occformer_nusc_r101_896x1600_trainval.py",
+    "occformer_nusc_panoptic_r50_256x704.py",
     "occformer_kitti.py",
+    "occformer_kitti_submit.py",
+    "occformer_kitti_video_demo.py",
 ]
 
 
