@@ -117,3 +117,35 @@ def test_pad_points_and_collate(rng):
     lv = batch["lidar_valid"][0]
     xy = batch["lidar_xyz"][0][lv][:, :2]
     assert (xy >= 0).all() and (xy <= 1).all()
+
+
+def test_create_data_sensor2lidar_roundtrip():
+    """tools/create_data.py geometry: cam->lidar from pose chains must invert
+    the global-frame composition exactly (devkit-free helper)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from create_data import rt_to_mat, sensor2lidar
+
+    rng = np.random.default_rng(0)
+
+    def rand_rot():
+        a, b, c = rng.uniform(-np.pi, np.pi, 3)
+        Rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+        Ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+        Rx = np.array([[1, 0, 0], [0, np.cos(c), -np.sin(c)], [0, np.sin(c), np.cos(c)]])
+        return Rz @ Ry @ Rx
+
+    cam_r, cam_t = rand_rot(), rng.uniform(-2, 2, 3)
+    came_r, came_t = rand_rot(), rng.uniform(-100, 100, 3)
+    lid_r, lid_t = rand_rot(), rng.uniform(-2, 2, 3)
+    lide_r, lide_t = rand_rot(), rng.uniform(-100, 100, 3)
+
+    r, t = sensor2lidar(cam_r, cam_t, came_r, came_t, lid_r, lid_t, lide_r, lide_t)
+    # a point at the camera origin maps to the camera center in lidar frame
+    cam2global = rt_to_mat(came_r, came_t) @ rt_to_mat(cam_r, cam_t)
+    lidar2global = rt_to_mat(lide_r, lide_t) @ rt_to_mat(lid_r, lid_t)
+    p_cam = rng.uniform(-5, 5, 3)
+    p_global = cam2global[:3, :3] @ p_cam + cam2global[:3, 3]
+    p_lidar_ref = np.linalg.inv(lidar2global)[:3, :3] @ p_global + \
+        np.linalg.inv(lidar2global)[:3, 3]
+    np.testing.assert_allclose(r @ p_cam + t, p_lidar_ref, rtol=1e-9, atol=1e-9)
