@@ -29,8 +29,17 @@ def main():
     fn, (variables, batch) = entry()
     jfn = jax.jit(fn)
 
-    out = jfn(variables, batch)
-    out.block_until_ready()
+    # transient remote_compile HTTP failures happen over the tunnel
+    # (NOTES.md); retry the first (compiling) call once
+    for attempt in range(2):
+        try:
+            out = jfn(variables, batch)
+            out.block_until_ready()
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(5)
     for _ in range(WARMUP):
         jfn(variables, batch).block_until_ready()
 
