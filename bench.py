@@ -8,11 +8,11 @@ on a single A100-class GPU per community reports.  We use 4.5 FPS as the
 A100 reference estimate; BASELINE.json's north star is >=2x that per chip.
 vs_baseline = measured_fps / 4.5 (so 2.0 == the north-star target).
 
-Measurement: FRAMES_PER_CALL forwards run inside ONE jitted lax.scan (a tiny
-data dependency chains the iterations so XLA can't CSE them), so the per-call
-tunnel dispatch overhead (5-10 ms over the remote-chip HTTP tunnel, NOTES.md)
-is amortized and the number reflects device throughput; several timed windows,
-best wins.
+Measurement: a pipeline of async dispatches per timed window (block on the
+last), best of several windows.  NOTE: wrapping the forward in a lax.scan to
+amortize dispatches is NOT viable on this backend — a multi-iteration loop
+over the full model runs ~500x slower than back-to-back dispatches
+(NOTES.md "loop pathology"); the dispatch pipeline is the honest measure.
 """
 import json
 import os
@@ -23,33 +23,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 A100_BASELINE_FPS = 4.5
-WARMUP = 2
-FRAMES_PER_CALL = 10
-CALLS_PER_WINDOW = 3
+WARMUP = 3
+ITERS = 30
+WINDOWS = 5
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from __graft_entry__ import entry
 
     fn, (variables, batch) = entry()
-
-    def fn_chained(variables, batch):
-        # each iteration's input depends on the previous output (x * 1e-30
-        # of it), forcing FRAMES_PER_CALL sequential executions on device
-        def body(carry, _):
-            b = dict(batch)
-            b["imgs"] = batch["imgs"] + (carry * 1e-30).astype(batch["imgs"].dtype)
-            out = fn(variables, b)
-            return jnp.mean(out.astype(jnp.float32)), None
-
-        carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                                length=FRAMES_PER_CALL)
-        return carry
-
-    jfn = jax.jit(fn_chained)
+    jfn = jax.jit(fn)
 
     # transient remote_compile HTTP failures happen over the tunnel
     # (NOTES.md); retry the first (compiling) call once
@@ -65,15 +50,17 @@ def main():
     for _ in range(WARMUP):
         jfn(variables, batch).block_until_ready()
 
+    # several timed windows; report the best (the tunnel to the remote chip
+    # adds occasional multi-ms stalls that aren't the model's cost)
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(WINDOWS):
         t0 = time.perf_counter()
-        for _ in range(CALLS_PER_WINDOW):
+        for _ in range(ITERS):
             out = jfn(variables, batch)
         out.block_until_ready()
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    frames = CALLS_PER_WINDOW * FRAMES_PER_CALL * batch["imgs"].shape[0]
+    frames = ITERS * batch["imgs"].shape[0]
     fps = frames / best_dt
     print(json.dumps({
         "metric": "nusc_r50_256x704_infer_frames_per_sec_per_chip",
