@@ -7,8 +7,9 @@ for XLA:
 * GT is represented as one mask slot per class: ``gt_masks [B, C, X, Y, Z]``
   with a validity bit per slot — exactly ``preprocess_occupancy_gt``
   (base/mmdet_utils.py:426-473) without dynamic unique().
-* Hungarian matching runs per (layer, sample) through one host callback over
-  a fixed [Q, G] cost buffer (losses/matching.py).
+* Hungarian matching runs per (layer, sample) as a device-side auction solve
+  over a fixed [Q, G] cost buffer (losses/matching.py) — the backend rejects
+  host callbacks, and on-device matching removes per-layer host syncs.
 * Multinomial-without-replacement becomes Gumbel top-k; per-iteration random
   sampling gamma (mask2former_occ.py:160-166) consumes an explicit PRNG key.
 * All reductions are weighted sums over static buffers; invalid slots carry
