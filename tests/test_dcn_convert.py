@@ -117,3 +117,77 @@ def test_dcn_conversion_numeric_parity(modulated, conv_groups):
     out = mod.apply({"params": tb.params["dcn"]}, xj)
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(out), -1, 1), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_dcn_bottleneck_conversion_parity():
+    """convert_resnet's DCNv2-in-bottleneck branch (R101-DCN checkpoints):
+    torch bottleneck with mmcv-layout modulated DCN at conv2 -> converted ->
+    our Bottleneck(with_dcn=True) matches numerically."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as TF
+
+    from occformer_tpu.engine.checkpoint import convert_resnet
+    from occformer_tpu.models.resnet import Bottleneck
+
+    C, P = 8, 4  # planes P, in channels C = P (so downsample 1x1 exists: 4*P != C)
+    rng = np.random.default_rng(0)
+
+    class TorchBottleneckDCN(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(C, P, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(P)
+            # mmcv ModulatedDeformConv2dPack naming: conv2.weight + conv2.conv_offset
+            self.conv2 = tnn.Module()
+            self.conv2.weight = tnn.Parameter(torch.randn(P, P, 3, 3) * 0.2)
+            self.conv2.conv_offset = tnn.Conv2d(P, 27, 3, padding=1, bias=True)
+            self.bn2 = tnn.BatchNorm2d(P)
+            self.conv3 = tnn.Conv2d(P, P * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(P * 4)
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(C, P * 4, 1, bias=False), tnn.BatchNorm2d(P * 4))
+
+        def forward(self, x):
+            y = TF.relu(self.bn1(self.conv1(x)))
+            out = _mmcv_deform_conv_np(
+                y.numpy().astype(np.float64),
+                self.conv2.weight.detach().numpy(), None,
+                self.conv2.conv_offset.weight.detach().numpy().astype(np.float64),
+                self.conv2.conv_offset.bias.detach().numpy().astype(np.float64),
+                modulated=True)
+            y = TF.relu(self.bn2(torch.from_numpy(out.astype(np.float32))))
+            y = self.bn3(self.conv3(y))
+            return TF.relu(y + self.downsample(x))
+
+    torch.manual_seed(0)
+    tm = TorchBottleneckDCN().eval()
+    for m in tm.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+    sd = {"layer1.0." + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # convert_resnet also expects the stem; give it one (not compared here)
+    sd["conv1.weight"] = rng.standard_normal((8, 3, 7, 7)).astype(np.float32)
+    for k, v in (("weight", np.ones(8)), ("bias", np.zeros(8)),
+                 ("running_mean", np.zeros(8)), ("running_var", np.ones(8))):
+        sd[f"bn1.{k}"] = v.astype(np.float32)
+    params, stats = convert_resnet(sd, "")
+
+    mod = Bottleneck(planes=P, stride=1, has_downsample=True, with_dcn=True)
+    x = rng.standard_normal((1, 6, 7, C)).astype(np.float32)
+    import jax
+    import jax.numpy as jnp
+
+    init = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    from occformer_tpu.engine.convert_weights import match_to_tree
+
+    variables, missing = match_to_tree(
+        {"params": params["layer1_0"], "batch_stats": stats["layer1_0"]},
+        {"params": init["params"], "batch_stats": init["batch_stats"]})
+    assert not missing, missing
+    out = mod.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+    np.testing.assert_allclose(np.moveaxis(np.asarray(out), -1, 1), ref,
+                               rtol=3e-4, atol=3e-4)
