@@ -87,6 +87,13 @@ def main():
         report["img_encoder_ms"] = round(timeit(lambda: j1(variables, batch)), 2)
         report["through_neck_ms"] = round(timeit(lambda: j2(variables, batch)), 2)
         report["full_ms"] = round(timeit(lambda: jfull(variables, batch)), 2)
+        # Over the remote-chip tunnel, dispatching MULTIPLE programs thrashes
+        # the resident executable and inflates these numbers wildly (a stage
+        # can report 100x the full model measured above) — trust them only on
+        # a locally-attached chip.  See NOTES.md "stage timing".
+        report["stage_timing_caveat"] = (
+            "unreliable over a remote-chip tunnel (executable thrash); "
+            "compare against fps_per_chip above")
 
     print(json.dumps(report))
 
