@@ -26,6 +26,9 @@ def main():
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--stage-breakdown", action="store_true")
+    p.add_argument("--stage", choices=["img", "feat", "full"], default=None,
+                   help="time ONE stage program in this process (reliable "
+                        "over the tunnel; run one process per stage)")
     args = p.parse_args()
 
     import jax
@@ -45,6 +48,31 @@ def main():
         final_mask = mask_logits_from_embeds(out["mask_embeds"][-1],
                                              out["mask_feature"])
         return format_results(out["cls_preds"][-1], final_mask)
+
+    if args.stage:
+        # one program per process: pipelined windows, best-of-3 (see NOTES.md
+        # — multiple resident executables thrash the remote server)
+        if args.stage == "img":
+            fn = lambda v, b: model.apply(
+                v, b["imgs"].astype(model.dtype), method=model.image_encoder)
+        elif args.stage == "feat":
+            fn = lambda v, b: model.apply(v, b, method=model.extract_feat)
+        else:
+            fn = full
+        jfn = jax.jit(fn)
+        jax.block_until_ready(jfn(variables, batch))
+        for _ in range(args.warmup):
+            jax.block_until_ready(jfn(variables, batch))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                r = jfn(variables, batch)
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"stage": args.stage,
+                          "ms_per_call": round(best / args.iters * 1000, 3)}))
+        return
 
     jfull = jax.jit(full)
     jfull(variables, batch).block_until_ready()
