@@ -171,6 +171,11 @@ class OccupancyFormer(nn.Module):
     test_cfg: Any = None
     train: bool = False
     dtype: Any = jnp.float32
+    # Optional mesh axis name for spatially sharding the voxel volume (its X
+    # axis) across chips — the SP/TP-style extension SURVEY.md §5 sketches
+    # for grids that outgrow one chip's HBM.  GSPMD inserts the halo
+    # exchanges for the 3D convs and the resharding around window attention.
+    spatial_shard_axis: Any = None
 
     def setup(self):
         def build(cfg):
@@ -195,6 +200,15 @@ class OccupancyFormer(nn.Module):
         fH, fW, C = x.shape[1:]
         return x.reshape(B, N, fH, fW, C)
 
+    def _shard_volume(self, v):
+        if self.spatial_shard_axis is None:
+            return v
+        from jax.sharding import PartitionSpec as P
+
+        # [B(, ...), X, Y, Z, C]: batch over "data", X over the model axis
+        spec = ("data", self.spatial_shard_axis) + (None,) * (v.ndim - 2)
+        return jax.lax.with_sharding_constraint(v, P(*spec))
+
     def extract_feat(self, batch):
         x = self.image_encoder(batch["imgs"].astype(self.dtype))
         volume, depth_prob = self.view_transformer(
@@ -203,8 +217,8 @@ class OccupancyFormer(nn.Module):
         )
         # the reference forces the 3D encoder to fp32 (@force_fp32 :37);
         # we keep the compute dtype and rely on fp32 islands in losses.
-        scales = self.bev_backbone(volume.astype(self.dtype))
-        voxel_feats = self.bev_neck(scales)
+        scales = self.bev_backbone(self._shard_volume(volume.astype(self.dtype)))
+        voxel_feats = self.bev_neck([self._shard_volume(s) for s in scales])
         return voxel_feats, depth_prob
 
     def __call__(self, batch):

@@ -100,3 +100,39 @@ def test_dp_sharded_step_matches_single_device():
             np.testing.assert_allclose(
                 np.asarray(leaf), np.asarray(other), rtol=1e-4, atol=1e-5,
                 err_msg="batch_stats" + jax.tree_util.keystr(path))
+
+
+@pytest.mark.slow
+def test_spatial_model_axis_matches_single_device():
+    """2-D (data x model) mesh with the voxel volume spatially sharded over
+    the model axis (detector.spatial_shard_axis): forward logits must match
+    the unsharded single-device forward — GSPMD halo exchanges and the
+    resharding around window attention are semantics-preserving, and our
+    constraint wiring must not change the math."""
+    cfg = tiny_cfg.model_cfg()
+    kw = {k: cfg[k] for k in (
+        "img_backbone", "img_neck", "img_view_transformer",
+        "img_bev_encoder_backbone", "img_bev_encoder_neck", "pts_bbox_head",
+    )}
+    batch = {k: np.concatenate([v, v], 0)
+             for k, v in tiny_cfg.make_batch(np.random.RandomState(0)).items()}
+
+    ref_model = OccupancyFormer(**kw, train=False)
+    variables = ref_model.init(jax.random.PRNGKey(0), batch)
+    ref_out = jax.jit(ref_model.apply)(variables, batch)
+
+    sharded_model = OccupancyFormer(**kw, train=False,
+                                    spatial_shard_axis="model")
+    mesh = make_mesh(("data", "model"), shape=(2, 4),
+                     devices=jax.devices()[:8])
+    rep = replicate_sharding(mesh)
+    with mesh:
+        v = jax.device_put(variables, rep)
+        b = shard_batch(batch, mesh)
+        out = jax.jit(sharded_model.apply,
+                      in_shardings=(rep, batch_sharding(mesh)))(v, b)
+
+    for k in ("cls_preds", "mask_feature", "depth_prob"):
+        np.testing.assert_allclose(
+            np.asarray(ref_out[k], np.float32), np.asarray(out[k], np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=k)
