@@ -97,3 +97,25 @@ def test_train_cli_sigterm_checkpoint(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+@pytest.mark.slow
+def test_submission_write_and_validate(tmp_path):
+    """tools/test.py --test-save writes a nuScenes lidarseg submission that
+    tools/validate_submission.py accepts (reference apis/utils.py:112-134 +
+    validate_lidarseg_submission.py roundtrip)."""
+    sub = os.path.join(str(tmp_path), "sub")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test.py"), CFG,
+         "--max-samples", "2", "--cpu", "--test-save", sub],
+        capture_output=True, text=True, timeout=1500, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.isfile(os.path.join(sub, "test", "submission.json"))
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "validate_submission.py"),
+         "nusc", sub],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "submission valid" in r2.stdout
