@@ -162,9 +162,13 @@ def main():
     eval_model = OccupancyFormer(**kw, train=False, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    print("rendering scenes ...")
+    print("rendering scenes ...", flush=True)
     train_batches = [scene_batch(rng) for _ in range(args.train_scenes)]
     test_batches = [scene_batch(rng) for _ in range(args.test_scenes)]
+    # pre-stage every scene on device ONCE: per-step host->device re-upload
+    # of the 10 MB batch over the tunnel would otherwise dominate wall time
+    train_batches = [jax.device_put(b) for b in train_batches]
+    test_batches = [jax.device_put(b) for b in test_batches]
 
     loss_cfg = build_loss_cfg(m["pts_bbox_head"],
                               dict(m.get("train_cfg", {}).get("pts", {})))
@@ -206,19 +210,23 @@ def main():
         miou = float(np.mean((inter[1:] / np.maximum(union[1:], 1))[present]))
         return float(sc_i / max(sc_u, 1)), miou
 
-    print(f"setup done ({time.time()-t0:.0f}s); training {args.steps} steps")
+    print(f"setup done ({time.time()-t0:.0f}s); training {args.steps} steps", flush=True)
     t0 = time.time()
     for it in range(args.steps):
         b = train_batches[it % len(train_batches)]
         state, metrics = step(state, b, key)
         if it == 0:
-            print(f"first step (compile) {time.time()-t0:.0f}s")
+            print(f"first step (compile) {time.time()-t0:.0f}s", flush=True)
             t0 = time.time()
+        if it and it % 100 == 0:
+            jax.block_until_ready(state.params["backbone"]["conv1"]["Conv_0"]["kernel"])
+            print(f"step {it} ({time.time()-t0:.0f}s)", flush=True)
         if args.eval_every and it and it % args.eval_every == 0:
             sc, miou = eval_iou(state)
             print(json.dumps({"step": it, "heldout_SC_IoU": round(sc, 4),
                               "heldout_mIoU": round(miou, 4),
-                              "loss": round(float(metrics["total_loss"]), 2)}))
+                              "loss": round(float(metrics["total_loss"]), 2)}),
+                  flush=True)
     dt = (time.time() - t0) / max(args.steps - 1, 1)
     sc, miou = eval_iou(state)
     print(json.dumps({
