@@ -143,7 +143,7 @@ model = dict(
     ),
     train_cfg=dict(
         pts=dict(
-            num_points=12544 * 2,
+            num_points=12544 * 4,
             oversample_ratio=3.0,
             importance_sample_ratio=0.75,
             assigner=dict(

@@ -71,6 +71,7 @@ def test_loss_cfg_from_configs():
     lk = build_loss_cfg(dict(kitti["model"]["pts_bbox_head"]),
                         dict(kitti["model"]["train_cfg"]["pts"]))
     assert not lk.use_lidar_points and lk.align_corners
+    assert lk.num_points == 12544 * 4  # occformer_kitti.py:196
     assert lk.sample_weights is not None and len(lk.sample_weights) == 20
     # 1/log frequency weights normalized by class 0
     assert abs(lk.class_weight[0] - 1.0) < 1e-6

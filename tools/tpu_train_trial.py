@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""One synthetic training step on the real chip at flagship shapes.
+"""One synthetic training step on the real chip at full config shapes.
 
-Validates that the full nuScenes R50 256x704 training step (forward + losses
-+ Hungarian callback + AdamW) compiles and fits in one chip's HBM, and
-reports step time + peak memory.
+Validates that a released config's training step (forward + losses +
+Hungarian matching + AdamW) compiles and fits in one chip's HBM, and reports
+step time + peak memory.  Works for any config (nuScenes 6-cam or KITTI
+mono); the batch is synthesized at the config's exact input/occ shapes.
 
-Usage: python tools/tpu_train_trial.py [--num-points 12544] [--steps 3]
+Usage:
+  python tools/tpu_train_trial.py [CONFIG] [--num-points N] [--steps K]
+         [--batch-size B] [--accum-steps A]
 """
 import argparse
 import json
@@ -18,10 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--num-points", type=int, default=12544 * 4)
+    p.add_argument("config", nargs="?",
+                   default="occformer_tpu/configs/occformer_nusc_r50_256x704.py")
+    p.add_argument("--num-points", type=int, default=None,
+                   help="override the config's train_cfg.pts.num_points")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--max-lidar", type=int, default=35000)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--accum-steps", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -35,7 +42,10 @@ def main():
     from occformer_tpu.utils.profiling import device_memory_stats
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_config(os.path.join(repo, "occformer_tpu/configs/occformer_nusc_r50_256x704.py"))
+    cfg_path = args.config
+    if not os.path.isabs(cfg_path):
+        cfg_path = os.path.join(repo, cfg_path)
+    cfg = load_config(cfg_path)
     m = cfg["model"]
     model = OccupancyFormer(
         img_backbone=dict(m["img_backbone"]),
@@ -47,35 +57,55 @@ def main():
         train=True,
         dtype=jnp.bfloat16,
     )
-    B, N = args.batch_size, 6
-    H, W = cfg["data_config"]["input_size"]
+    data_config = cfg["data_config"]
+    B = args.batch_size
+    N = data_config.get("Ncams", 1)
+    H, W = data_config["input_size"]
     X, Y, Z = cfg["occ_size"]
+    head_cfg = dict(m["pts_bbox_head"])
+    num_classes = head_cfg.get("num_occupancy_classes", 20)
+    is_nusc = head_cfg.get("type", "").startswith("Mask2FormerNusc")
+    grid_config = dict(m["img_view_transformer"]["grid_config"])
+    d_lo, d_hi = grid_config["dbound"][0], grid_config["dbound"][1]
+    # native-scale intrinsics + the aug homography that maps them to the
+    # network input: nuScenes images are 1600 wide (fx~1266) resized by
+    # W/1600; KITTI inputs are fed at native scale (fx~718, identity aug).
+    if is_nusc:
+        fx, post_scale = 1266.0, W / 1600.0
+        cx, cy = W / 2 / post_scale, H / 2 / post_scale
+    else:
+        fx, post_scale = 718.0, 1.0
+        cx, cy = W / 2, H / 2
+
     rng = np.random.RandomState(0)
     intrins = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
-    intrins[..., 0, 0] = 1266.0
-    intrins[..., 1, 1] = 1266.0
-    intrins[..., 0, 2] = W / 2
-    intrins[..., 1, 2] = H / 2
-    depth = rng.uniform(0, 58, (B, N, H, W)).astype(np.float32)
-    depth[depth < 40] = 0.0
+    intrins[..., 0, 0] = fx
+    intrins[..., 1, 1] = fx
+    intrins[..., 0, 2] = cx
+    intrins[..., 1, 2] = cy
+    depth = rng.uniform(0, d_hi, (B, N, H, W)).astype(np.float32)
+    depth[depth < (d_lo + 0.7 * (d_hi - d_lo))] = 0.0  # sparse LiDAR-like GT
+    post_rots = np.tile(np.eye(3, dtype=np.float32) * post_scale, (B, N, 1, 1))
+    post_rots[..., 2, 2] = 1.0
     batch = {
         "imgs": rng.randn(B, N, H, W, 3).astype(np.float32),
         "rots": np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1)),
         "trans": rng.uniform(-1, 1, (B, N, 3)).astype(np.float32),
         "intrins": intrins,
-        "post_rots": np.tile(np.eye(3, dtype=np.float32) * 0.44, (B, N, 1, 1)),
+        "post_rots": post_rots,
         "post_trans": np.zeros((B, N, 3), np.float32),
         "bda": np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)),
-        "gt_occ": rng.randint(0, 17, (B, X, Y, Z)).astype(np.int32),
+        "gt_occ": rng.randint(0, num_classes, (B, X, Y, Z)).astype(np.int32),
         "gt_depth": depth,
-        "lidar_xyz": rng.uniform(0, 1, (B, args.max_lidar, 3)).astype(np.float32),
-        "lidar_valid": np.ones((B, args.max_lidar), bool),
     }
-    batch["post_rots"][..., 2, 2] = 1.0
+    if is_nusc:
+        batch["lidar_xyz"] = rng.uniform(0, 1, (B, args.max_lidar, 3)).astype(np.float32)
+        batch["lidar_valid"] = np.ones((B, args.max_lidar), bool)
 
     train_pts = dict(m.get("train_cfg", {}).get("pts", {}))
-    train_pts["num_points"] = args.num_points
-    loss_cfg = build_loss_cfg(dict(m["pts_bbox_head"]), train_pts)
+    if args.num_points is not None:
+        train_pts["num_points"] = args.num_points
+    loss_cfg = build_loss_cfg(head_cfg, train_pts)
     lr = step_lr_schedule(1e-4, 28000, [20, 23])
 
     key = jax.random.PRNGKey(0)
@@ -89,7 +119,9 @@ def main():
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
     )
-    step_fn = jax.jit(build_train_step(model, tx, loss_cfg), donate_argnums=(0,))
+    step_fn = jax.jit(
+        build_train_step(model, tx, loss_cfg, accum_steps=args.accum_steps),
+        donate_argnums=(0,))
 
     t0 = time.time()
     state, metrics = step_fn(state, batch, key)
@@ -102,6 +134,10 @@ def main():
     dt = (time.time() - t0) / args.steps
     out = {k: float(v) for k, v in metrics.items()}
     print(json.dumps({
+        "config": os.path.basename(cfg_path),
+        "num_points": loss_cfg.num_points,
+        "batch_size": B,
+        "accum_steps": args.accum_steps,
         "sec_per_step": round(dt, 3),
         "total_loss": out["total_loss"],
         "loss_depth": out["loss_depth"],
