@@ -20,9 +20,9 @@ voxel_z = (point_cloud_range[5] - point_cloud_range[2]) / occ_size[2]
 
 data_config = {
     "input_size": (384, 1280),
-    "resize": (0.0, 0.0),
-    "rot": (0.0, 0.0),
-    "flip": False,
+    "resize": (-0.06, 0.11),
+    "rot": (-5.4, 5.4),
+    "flip": True,
     "crop_h": (0.0, 0.0),
     "resize_test": 0.00,
 }

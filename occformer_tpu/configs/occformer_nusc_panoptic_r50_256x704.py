@@ -42,8 +42,8 @@ data_config = {
     "resize_test": 0.00,
 }
 bda_aug_conf = dict(
-    rot_lim=(-0.0, 0.0), scale_lim=(0.95, 1.05),
-    flip_dx_ratio=0.5, flip_dy_ratio=0.5, flip_dz_ratio=0,
+    rot_lim=(0, 0), scale_lim=(0.95, 1.05),
+    flip_dx_ratio=0.5, flip_dy_ratio=0.5, flip_dz_ratio=0.5,
 )
 img_norm_cfg = dict(
     mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], to_rgb=True
@@ -69,4 +69,7 @@ data = dict(
     test=dict(pipeline=test_pipeline),
 )
 
-evaluation = dict(interval=1, save_best="nuScenes_panoptic_PQ", rule="greater")
+# reference panoptic recipe: very tight grad clip, eval disabled during
+# training (occformer_nusc_panoptic_r50_256x704.py:310,322)
+optimizer_config = dict(grad_clip=dict(max_norm=0.01, norm_type=2))
+evaluation = dict(interval=999, save_best="nuScenes_panoptic_PQ", rule="greater")

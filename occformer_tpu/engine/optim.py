@@ -38,6 +38,44 @@ def _decay_mask(params) -> Any:
     return walk(params, ())
 
 
+def backbone_freeze_mask(params, backbone_cfg: Optional[Dict]) -> Optional[Any]:
+    """mmdet freezing semantics -> bool pytree (True = frozen), or None.
+
+    ``frozen_stages=n`` freezes the stem (conv1/bn1) and layer1..layer n
+    (mmdet.models.backbones.resnet._freeze_stages, used by the R101-DCN
+    config occformer_nusc_r101_896x1600.py: frozen_stages=1);
+    ``norm_cfg=dict(requires_grad=False)`` freezes every BatchNorm
+    scale/bias in the image backbone.  The detector's backbone params live
+    under the top-level ``backbone`` key.
+    """
+    cfg = dict(backbone_cfg or {})
+    frozen_stages = int(cfg.get("frozen_stages", -1) or -1)
+    norm_frozen = (cfg.get("norm_cfg") or {}).get("requires_grad", True) is False
+    if frozen_stages < 0 and not norm_frozen:
+        return None
+
+    frozen_layers = {f"layer{i}" for i in range(1, frozen_stages + 1)}
+
+    def frozen_path(path) -> bool:
+        if not path or path[0] != "backbone":
+            return False
+        rest = path[1:]
+        if frozen_stages >= 0 and rest and rest[0] in ("conv1", "bn1"):
+            return True
+        if rest and rest[0].split("_")[0] in frozen_layers:
+            return True
+        if norm_frozen and any(p == "BatchNorm_0" for p in rest):
+            return True
+        return False
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return frozen_path(path)
+
+    return walk(params, ())
+
+
 def step_lr_schedule(
     base_lr: float,
     steps_per_epoch: int,
@@ -71,10 +109,20 @@ def build_optimizer(
     betas=(0.9, 0.999),
     eps: float = 1e-8,
     grad_clip: Optional[float] = 5.0,
+    freeze_mask: Optional[Any] = None,
 ) -> optax.GradientTransformation:
+    """AdamW chain; ``freeze_mask`` (True = frozen) zeroes those gradients
+    BEFORE clipping (so the global norm excludes them, like params that never
+    had requires_grad) and masks them out of weight decay."""
     txs = []
+    if freeze_mask is not None:
+        txs.append(optax.masked(optax.set_to_zero(), freeze_mask))
     if grad_clip is not None:
         txs.append(optax.clip_by_global_norm(grad_clip))
+    decay_mask = _decay_mask(params)
+    if freeze_mask is not None:
+        decay_mask = jax.tree_util.tree_map(
+            lambda d, f: d and not f, decay_mask, freeze_mask)
     txs.append(
         optax.adamw(
             learning_rate=lr,
@@ -82,7 +130,7 @@ def build_optimizer(
             b2=betas[1],
             eps=eps,
             weight_decay=weight_decay,
-            mask=_decay_mask(params),
+            mask=decay_mask,
         )
     )
     return optax.chain(*txs)

@@ -44,6 +44,12 @@ class MultiScaleDeformableAttention3D(nn.Module):
     num_heads: int = 8
     num_levels: int = 3
     num_points: int = 4
+    # Process queries in this many sequential, individually-rematerialized
+    # chunks.  XLA's TPU gather emitter pads the per-head corner gathers to
+    # 128 lanes (5.3x for head_dim 24); with chunks > 1 only one chunk's
+    # padded temps are live during the backward pass — the lever that lets
+    # the R101-DCN 896x1600 config train on a 16G chip.  1 = off.
+    query_chunks: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -86,21 +92,57 @@ class MultiScaleDeformableAttention3D(nn.Module):
         # layout so head_dim (small, e.g. 24) sits in the sublane dim — the
         # channels-last layout padded every corner gather ~5x on TPU
         value_heads = value.reshape(B, Nv, H, hd)
-        out = jnp.zeros((B, Nq, H, hd), self.dtype)
+        v_levels = []
         start = 0
-        for l, (X, Y, Z) in enumerate(spatial_shapes):
+        for (X, Y, Z) in spatial_shapes:
             n = X * Y * Z
             v_l = value_heads[:, start : start + n]  # [B, n, H, hd]
-            v_l = v_l.transpose(0, 2, 3, 1).reshape(B * H, hd, n)
-            # [0,1] -> [-1,1] with align_corners=False (torch grid_sample parity)
-            g = locs[:, :, :, l] * 2.0 - 1.0  # [B, Nq, H, P, 3]
-            g = g.transpose(0, 2, 1, 3, 4).reshape(B * H, Nq * P, 3)
-            s = grid_sample_3d_cfirst(v_l, (X, Y, Z), g, align_corners=False,
-                                      padding_mode="zeros")  # [B*H, hd, Nq*P]
-            s = s.reshape(B, H, hd, Nq, P)
-            w = weights[:, :, :, l].transpose(0, 2, 1, 3)  # [B, H, Nq, P]
-            out = out + jnp.einsum("bhqp,bhdqp->bqhd", w, s).astype(self.dtype)
+            v_levels.append(v_l.transpose(0, 2, 3, 1).reshape(B * H, hd, n))
             start += n
+
+        def sample(locs_flat, weights_flat):
+            """Pure gather+lerp+weighted-sum for a chunk of queries.
+
+            Arguments arrive FLATTENED to [B, nq, H*L*P*3] / [B, nq, H*L*P]:
+            they are saved as residuals at the jax.checkpoint boundary, and a
+            trailing dim of 3 or 4 pads to 128 lanes (62x) — flat layouts
+            keep the residuals dense.  Returns [B, nq, H, hd].
+            """
+            nq = locs_flat.shape[1]
+            locs_c = locs_flat.reshape(B, nq, H, L, P, 3)
+            weights_c = weights_flat.reshape(B, nq, H, L, P)
+            acc = jnp.zeros((B, nq, H, hd), self.dtype)
+            for l, (X, Y, Z) in enumerate(spatial_shapes):
+                # [0,1] -> [-1,1], align_corners=False (torch grid_sample parity)
+                g = locs_c[:, :, :, l] * 2.0 - 1.0  # [B, nq, H, P, 3]
+                g = g.transpose(0, 2, 1, 3, 4).reshape(B * H, nq * P, 3)
+                s = grid_sample_3d_cfirst(
+                    v_levels[l], (X, Y, Z), g, align_corners=False,
+                    padding_mode="zeros", compute_dtype=self.dtype,
+                )  # [B*H, hd, nq*P]
+                s = s.reshape(B, H, hd, nq, P)
+                w = weights_c[:, :, :, l].transpose(0, 2, 1, 3)  # [B, H, nq, P]
+                # keep the weighted sum in compute dtype: the contraction is
+                # only over P (=4) points; default f32 accumulation would
+                # materialize a [nq, H, hd, P] f32 temp per layer
+                acc = acc + jnp.einsum(
+                    "bhqp,bhdqp->bqhd", w, s, preferred_element_type=self.dtype
+                ).astype(self.dtype)
+            return acc
+
+        K = max(1, min(self.query_chunks, Nq))
+        locs_flat = locs.reshape(B, Nq, H * L * P * 3)
+        weights_flat = weights.reshape(B, Nq, H * L * P)
+        if K == 1:
+            out = sample(locs_flat, weights_flat)
+        else:
+            bounds = [round(i * Nq / K) for i in range(K + 1)]
+            chunk_fn = jax.checkpoint(sample)
+            out = jnp.concatenate(
+                [chunk_fn(locs_flat[:, s:e], weights_flat[:, s:e])
+                 for s, e in zip(bounds[:-1], bounds[1:])],
+                axis=1,
+            )
 
         out = out.reshape(B, Nq, C)
         out = Linear(C, dtype=self.dtype, name="output_proj")(out)

@@ -51,6 +51,9 @@ def translate_cfg(cfg: Dict, train: bool, dtype) -> Tuple[Any, Dict]:
             out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
             norm_eval=cfg.get("norm_eval", False),
             dcn_stages=tuple(i for i, f in enumerate(stage_with_dcn) if f) if dcn else (),
+            style=cfg.get("style", "pytorch"),
+            with_cp=cfg.get("with_cp", False),
+            frozen_stages=cfg.get("frozen_stages", -1),
         )
         from .resnet import ResNet
         return ResNet, kwargs
@@ -113,6 +116,7 @@ def translate_cfg(cfg: Dict, train: bool, dtype) -> Tuple[Any, Dict]:
             feedforward_channels=(enc.get("transformerlayers", {}) or {}).get("feedforward_channels"),
             pos_num_feats=int(cfg.get("positional_encoding", {}).get("num_feats", 0)) or None,
             num_groups=(cfg.get("norm_cfg") or {}).get("num_groups", 32),
+            query_chunks=cfg.get("query_chunks", 1),
         )
         return MSDeformAttnPixelDecoder3D, kwargs
     if t in ("Mask2FormerOccHead", "Mask2FormerNuscOccHead",

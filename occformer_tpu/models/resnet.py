@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..registry import BACKBONES
@@ -34,22 +35,29 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     with_dcn: bool = False
+    style: str = "pytorch"  # 'pytorch': stride on the 3x3; 'caffe': on the 1st 1x1
     train: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        # mmdet Bottleneck stride placement (mmdet.models.backbones.resnet):
+        # caffe-style checkpoints (e.g. the FCOS3D-pretrained R101-DCN,
+        # occformer_nusc_r101_896x1600.py) stride the first 1x1 conv.
+        c1_stride = self.stride if self.style == "caffe" else 1
+        c2_stride = 1 if self.style == "caffe" else self.stride
         identity = x
-        y = Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = Conv(self.planes, (1, 1), strides=(c1_stride, c1_stride),
+                 use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         if self.with_dcn:
             y = DeformConv2d(
-                self.planes, kernel_size=3, strides=(self.stride, self.stride),
+                self.planes, kernel_size=3, strides=(c2_stride, c2_stride),
                 modulated=True, dtype=self.dtype, name="conv2",
             )(y)
         else:
-            y = Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+            y = Conv(self.planes, (3, 3), strides=(c2_stride, c2_stride),
                      use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
@@ -103,14 +111,19 @@ class ResNet(nn.Module):
     depth: int = 50
     out_indices: Sequence[int] = (0, 1, 2, 3)
     dcn_stages: Sequence[int] = ()  # stage idxs (0-based) using DCNv2, e.g. (2, 3)
-    frozen_stages: int = -1  # accepted for config parity; freezing is an
-    # optimizer concern in this framework (optax mask), not a module one
+    frozen_stages: int = -1  # mmdet semantics: 0 freezes the stem, n freezes
+    # stem+layer1..layern.  Parameter freezing itself is an optimizer concern
+    # (optim.backbone_freeze_mask); here we additionally stop gradients at the
+    # frozen/live boundary in training, like torch's requires_grad=False —
+    # XLA then drops the whole backward through the frozen prefix (saves
+    # ~1.7G of saved activations for the R101 896x1600 config).
     norm_eval: bool = False
     train: bool = False
     dtype: Any = jnp.float32
+    style: str = "pytorch"
+    with_cp: bool = False  # rematerialize each block (mmdet with_cp)
     # accepted-for-parity extras from mmdet configs
     num_stages: int = 4
-    style: str = "pytorch"
     pretrained: Optional[str] = None
     norm_cfg: Optional[dict] = None
 
@@ -126,22 +139,51 @@ class ResNet(nn.Module):
         y = BatchNorm(use_running_average=not bn_train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.train and self.frozen_stages == 0:
+            y = jax.lax.stop_gradient(y)
 
         outs = []
         planes = 64
+        # with_cp = NESTED remat (sqrt-style): the outer checkpoint saves only
+        # the 4 stage-boundary activations; inside a stage's backward the
+        # recomputed forward checkpoints each BLOCK, so only one block's
+        # temps (e.g. the 147M DCNv2 corner gathers of an R101 layer3 block
+        # at 6x896x1600) are live at a time.  Either level alone OOMs that
+        # config: per-block-only keeps the 275M layer1 block outputs as
+        # whole-backward residuals; per-stage-only materializes all 23
+        # layer3 DCN backwards at once.  Param names are unchanged (blocks
+        # are created inside the rematted method under the same scope).
+        if self.with_cp and self.train:
+            stage_fn = nn.remat(ResNet._stage, static_argnums=(2, 3, 4, 5, 6))
+        else:
+            stage_fn = ResNet._stage
         for i, nblocks in enumerate(stage_blocks):
-            stride = 1 if i == 0 else 2
-            for j in range(nblocks):
-                y = block_cls(
-                    planes=planes,
-                    stride=stride if j == 0 else 1,
-                    has_downsample=(j == 0 and (stride != 1 or planes * expansion != y.shape[-1])),
-                    with_dcn=(i in self.dcn_stages),
-                    train=bn_train,
-                    dtype=self.dtype,
-                    name=f"layer{i + 1}_{j}",
-                )(y)
+            y = stage_fn(self, y, i, nblocks, planes, block_type, bn_train)
+            if self.train and self.frozen_stages == i + 1:
+                y = jax.lax.stop_gradient(y)
             if i in self.out_indices:
                 outs.append(y)
             planes *= 2
         return tuple(outs)
+
+    def _stage(self, y, i: int, nblocks: int, planes: int, block_type: str,
+               bn_train: bool):
+        block_cls = Bottleneck if block_type == "bottleneck" else BasicResBlock
+        if self.with_cp and self.train:
+            block_cls = nn.remat(block_cls)  # inner level of the nested remat
+        expansion = 4 if block_type == "bottleneck" else 1
+        stride = 1 if i == 0 else 2
+        for j in range(nblocks):
+            kwargs = dict(
+                planes=planes,
+                stride=stride if j == 0 else 1,
+                has_downsample=(j == 0 and (stride != 1 or planes * expansion != y.shape[-1])),
+                with_dcn=(i in self.dcn_stages),
+                train=bn_train,
+                dtype=self.dtype,
+                name=f"layer{i + 1}_{j}",
+            )
+            if block_type == "bottleneck":
+                kwargs["style"] = self.style
+            y = block_cls(**kwargs)(y)
+        return y

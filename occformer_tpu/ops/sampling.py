@@ -146,6 +146,7 @@ def grid_sample_3d_cfirst(
     coords: jnp.ndarray,
     align_corners: bool = False,
     padding_mode: str = "zeros",
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Trilinear sampling over a channels-FIRST flat volume.
 
@@ -161,10 +162,18 @@ def grid_sample_3d_cfirst(
     X, Y, Z = spatial
     assert N == X * Y * Z
     S = coords.shape[1]
-    ctype = jnp.promote_types(vol_flat.dtype, jnp.float32)
-    cx = _unnormalize(coords[..., 0].astype(ctype), X, align_corners)
-    cy = _unnormalize(coords[..., 1].astype(ctype), Y, align_corners)
-    cz = _unnormalize(coords[..., 2].astype(ctype), Z, align_corners)
+    # compute_dtype=bfloat16 keeps the corner gather-multiply-accumulate in
+    # bf16 — the deformable-attention hot path (which the reference runs
+    # under fp16 autocast, so low-precision lerp is parity-faithful); the
+    # default promotes to f32, matching torch grid_sample outside autocast.
+    # At 896x1600 training the f32 backward temps of this lerp were the
+    # largest remaining HBM consumers.  Coordinate/weight math always stays
+    # in f32: bf16 has too few mantissa bits to address a 128-wide grid.
+    wtype = jnp.promote_types(vol_flat.dtype, jnp.float32)
+    ctype = compute_dtype or wtype
+    cx = _unnormalize(coords[..., 0].astype(wtype), X, align_corners)
+    cy = _unnormalize(coords[..., 1].astype(wtype), Y, align_corners)
+    cz = _unnormalize(coords[..., 2].astype(wtype), Z, align_corners)
     x0, x1, wx, okx0, okx1 = _gather_corner_weights(cx, X, padding_mode)
     y0, y1, wy, oky0, oky1 = _gather_corner_weights(cy, Y, padding_mode)
     z0, z1, wz, okz0, okz1 = _gather_corner_weights(cz, Z, padding_mode)
@@ -175,7 +184,7 @@ def grid_sample_3d_cfirst(
             vol_flat, lin[:, None, :].astype(jnp.int32), axis=2
         )  # [B, C, S]
         w = jnp.where(ok, w, 0.0)[:, None, :]
-        return g.astype(ctype) * w
+        return g.astype(ctype) * w.astype(ctype)
 
     out = (
         corner(x0, y0, z0, okx0 & oky0 & okz0, (1 - wx) * (1 - wy) * (1 - wz))

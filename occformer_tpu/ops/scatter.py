@@ -85,10 +85,18 @@ def voxel_scatter_lifted(
     batch_off = (jnp.arange(B, dtype=jnp.int32) * nvox).reshape(B, 1, 1, 1, 1)
     seg = jnp.where(valid, lin + batch_off, B * nvox)
 
-    # weighted point features: [B, N, D, fH, fW, C]; XLA keeps this fused with
-    # the scatter operand so the peak footprint is one pass over the points.
-    feats = depth[..., None] * ctx[:, :, None]
-    out = jax.ops.segment_sum(
-        feats.reshape(-1, C), seg.reshape(-1), num_segments=B * nvox + 1
-    )
+    # Scatter camera-by-camera so the weighted point features of ONE camera
+    # is the largest transient, not the whole [B, N, D, fH, fW, C] product
+    # (a 918M HBM temp at 6x896x1600).  The optimization_barrier ties each
+    # camera's lift to the previous accumulation — without it XLA's scheduler
+    # hoists all N muls ahead of the scatters and the transients coexist.
+    out = jnp.zeros((B * nvox + 1, C), depth.dtype)
+    for n in range(N):
+        if n:
+            out, depth = jax.lax.optimization_barrier((out, depth))
+        feats_n = depth[:, n, ..., None] * ctx[:, n, None]  # [B, D, fH, fW, C]
+        out = out + jax.ops.segment_sum(
+            feats_n.reshape(-1, C), seg[:, n].reshape(-1),
+            num_segments=B * nvox + 1,
+        )
     return out[: B * nvox].reshape(B, X, Y, Z, C)

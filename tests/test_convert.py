@@ -125,3 +125,61 @@ def test_reverse_offset_triples():
     w = np.arange(12).reshape(12, 1)  # 4 triples of (z, y, x)
     r = _reverse_offset_triples(w, axis=0).reshape(-1)
     np.testing.assert_array_equal(r[:6], [2, 1, 0, 5, 4, 3])
+
+
+class TorchCaffeBottleneck(nn.Module):
+    """mmdet caffe-style bottleneck: the stride sits on the FIRST 1x1 conv
+    (mmdet.models.backbones.resnet.Bottleneck, style='caffe'), as in the
+    FCOS3D-pretrained R101-DCN checkpoint (occformer_nusc_r101_896x1600.py)."""
+
+    def __init__(self, cin, planes, stride=2):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 1, stride, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = nn.Sequential(
+            nn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+            nn.BatchNorm2d(planes * 4))
+        self.relu = nn.ReLU()
+
+    def forward(self, x):
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + self.downsample(x))
+
+
+def test_caffe_bottleneck_stride_placement_parity(rng):
+    torch.manual_seed(2)
+    cin, planes = 16, 8
+    tm = TorchCaffeBottleneck(cin, planes, stride=2).eval()
+    for m in tm.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.3, 0.3)
+            m.running_var.uniform_(0.5, 1.5)
+    sd = {"layer1.0." + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # stem keys so convert_resnet is happy (not compared)
+    sd["conv1.weight"] = np.zeros((8, 3, 7, 7), np.float32)
+    for k, v in (("weight", np.ones(8)), ("bias", np.zeros(8)),
+                 ("running_mean", np.zeros(8)), ("running_var", np.ones(8))):
+        sd[f"bn1.{k}"] = v.astype(np.float32)
+    params, stats = convert_resnet(sd)
+
+    from occformer_tpu.models.resnet import Bottleneck
+
+    x = rng.randn(2, 10, 12, cin).astype(np.float32)
+    for style, should_match in (("caffe", True), ("pytorch", False)):
+        jm = Bottleneck(planes=planes, stride=2, has_downsample=True,
+                        style=style, train=False)
+        out = jm.apply({"params": params["layer1_0"],
+                        "batch_stats": stats["layer1_0"]}, jnp.asarray(x))
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+        ref = np.moveaxis(ref.numpy(), 1, -1)
+        assert out.shape == ref.shape
+        close = np.allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+        assert close == should_match, (
+            f"style={style}: expected match={should_match}")

@@ -84,3 +84,42 @@ def test_offset_bias_init_radial():
     np.testing.assert_allclose(b[:, :, 3, :], 4 * b[:, :, 0, :], rtol=1e-5)
     # max-|component| normalized to 1 at point 0
     np.testing.assert_allclose(np.abs(b[:, 0, 0, :]).max(-1), 1.0, rtol=1e-5)
+
+
+def test_query_chunking_matches_unchunked():
+    """query_chunks is a pure remat/memory lever: outputs are identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from occformer_tpu.models.deform_attn import MultiScaleDeformableAttention3D
+
+    B, C, H = 1, 24, 4
+    shapes = ((4, 4, 2), (2, 2, 1))
+    Nv = sum(x * y * z for x, y, z in shapes)
+    Nq = 37  # deliberately not divisible by the chunk count
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, Nq, C), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Nv, C), jnp.float32)
+    ref = jnp.asarray(rng.uniform(0.05, 0.95, (B, Nq, len(shapes), 3)),
+                      jnp.float32)
+
+    m1 = MultiScaleDeformableAttention3D(
+        embed_dims=C, num_heads=H, num_levels=2, num_points=3, query_chunks=1)
+    m5 = MultiScaleDeformableAttention3D(
+        embed_dims=C, num_heads=H, num_levels=2, num_points=3, query_chunks=5)
+    variables = m1.init(jax.random.PRNGKey(0), q, v, ref, shapes)
+    o1 = m1.apply(variables, q, v, ref, shapes)
+    o5 = m5.apply(variables, q, v, ref, shapes)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o5),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradients flow and agree through the chunked (checkpointed) path
+    def loss(params, mod):
+        return jnp.sum(mod.apply({"params": params}, q, v, ref, shapes) ** 2)
+
+    g1 = jax.grad(loss)(variables["params"], m1)
+    g5 = jax.grad(loss)(variables["params"], m5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g5)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -53,7 +53,9 @@ def main():
     from occformer_tpu.engine.checkpoint import (
         latest_checkpoint, load_checkpoint, save_checkpoint,
     )
-    from occformer_tpu.engine.optim import build_optimizer, step_lr_schedule
+    from occformer_tpu.engine.optim import (
+        backbone_freeze_mask, build_optimizer, step_lr_schedule,
+    )
     from occformer_tpu.engine.train import (
         TrainState, build_loss_cfg, build_train_step,
     )
@@ -120,6 +122,8 @@ def main():
         weight_decay=opt_cfg.get("weight_decay", 0.01),
         betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
         eps=opt_cfg.get("eps", 1e-8), grad_clip=grad_clip,
+        freeze_mask=backbone_freeze_mask(
+            variables["params"], cfg["model"].get("img_backbone")),
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
