@@ -214,15 +214,25 @@ class LoadMultiViewImageFromFiles_SemanticKitti:
 @PIPELINES.register_module()
 class CreateDepthFromLiDAR:
     """Project LiDAR into each view, z-buffer sparse GT depth maps
-    (lidar2depth.py:9-87): nearest-return-wins by descending-depth sort."""
+    (lidar2depth.py:9-87): nearest-return-wins by descending-depth sort.
 
-    def __init__(self, dataset="nusc"):
+    Loads the RAW point cloud from ``pts_filename`` itself (reference
+    lidar2depth.py:41-50) — the depth targets must be in the un-augmented
+    lidar frame, since the cameras are not BDA-transformed (BDA is applied
+    to the lifted volume inside the model, not to the images)."""
+
+    def __init__(self, dataset="nusc", data_root=None):
+        assert dataset in ("nusc", "kitti")
         self.dataset = dataset
+        self.data_root = data_root  # reference API parity (unused: the
+        # datasets here always provide an absolute pts_filename)
 
     def __call__(self, results: Dict) -> Dict:
         H, W = results["imgs"].shape[1:3]
         N = results["imgs"].shape[0]
-        points = results["points_lidar"][:, :3]  # ego/lidar frame xyz
+        width = 5 if self.dataset == "nusc" else 4  # kitti: x,y,z,intensity
+        points = np.fromfile(results["pts_filename"], dtype=np.float32)
+        points = points.reshape(-1, width)[:, :3]
 
         depth_maps = np.zeros((N, H, W), np.float32)
         for i in range(N):
@@ -239,10 +249,11 @@ class CreateDepthFromLiDAR:
             uv = proj[:, :2] / np.maximum(z[:, None], 1e-5)
             # apply the image aug homography
             uv = uv @ results["post_rots"][i][:2, :2].T + results["post_trans"][i][:2]
-            valid = (z > 1e-2) & (uv[:, 0] >= 0) & (uv[:, 0] < W) \
-                & (uv[:, 1] >= 0) & (uv[:, 1] < H)
-            u = uv[valid, 0].astype(np.int32)
-            v = uv[valid, 1].astype(np.int32)
+            # reference valid mask + nearest-pixel rounding (lidar2depth.py:60-77)
+            valid = (z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] <= W - 1) \
+                & (uv[:, 1] >= 0) & (uv[:, 1] <= H - 1)
+            u = np.rint(uv[valid, 0]).astype(np.int32)
+            v = np.rint(uv[valid, 1]).astype(np.int32)
             d = z[valid]
             order = np.argsort(-d)  # nearest written last wins
             depth_maps[i, v[order], u[order]] = d[order]
