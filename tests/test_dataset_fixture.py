@@ -171,6 +171,50 @@ def test_nuscenes_val_pipeline_and_loader(tmp_path):
     assert batch["_meta"][0]["sample_idx"] == "tok0"
 
 
+def test_nuscenes_panoptic_pipeline_from_disk(tmp_path):
+    """Panoptic variant: class*1000+instance labels from the .npz sidecar
+    (reference loading_nusc_panoptic_occ.py:33-170)."""
+    cfg = load_config(os.path.join(
+        REPO, "occformer_tpu/configs/occformer_nusc_panoptic_r50_256x704.py"))
+    root = str(tmp_path / "nuscenes")
+    ann_file = _make_nusc_tree(root)
+    # panoptic sidecar: nuScenes format category*1000 + instance
+    rng = np.random.RandomState(7)
+    n = np.fromfile(os.path.join(
+        root, "lidarseg/v1.0-trainval/tok0_lidarseg.bin"), np.uint8).size
+    sem = rng.randint(0, 32, n).astype(np.int64)
+    inst = rng.randint(0, 5, n).astype(np.int64)
+    os.makedirs(os.path.join(root, "panoptic", "v1.0-trainval"))
+    np.savez_compressed(
+        os.path.join(root, "panoptic", "v1.0-trainval", "tok0_panoptic.npz"),
+        data=(sem * 1000 + inst).astype(np.uint16))
+
+    dcfg = dict(cfg["data"]["train"])
+    pipeline = [dict(p) for p in dcfg.pop("pipeline")]
+    for p in pipeline:
+        if p["type"] == "LoadNuscPanopticOccupancyAnnotations":
+            p["data_root"] = root
+    dcfg.update(data_root=root, ann_file=ann_file, pipeline=pipeline)
+    dcfg.pop("type", None)
+
+    from occformer_tpu.data.nuscenes import CustomNuScenesOccLSSDataset
+
+    ds = CustomNuScenesOccLSSDataset(**dcfg)
+    for step in ds.pipeline:
+        if hasattr(step, "rng"):
+            step.rng = np.random.RandomState(1)
+    s = ds[0]
+    assert s["gt_occ"].shape == tuple(cfg["occ_size"])
+    assert s["panoptic_ids"].shape == (100,)
+    real = s["panoptic_ids"][s["panoptic_ids"] >= 0]
+    assert len(real) > 0
+    # semantic part of every voxel id is in the mapped 16-class space
+    occ = s["gt_occ"]
+    fg = occ[(occ > 0) & (occ < 65535)]
+    assert fg.size and (fg // 1000 <= 16).all()
+    assert s["gt_depth"].shape[0] == 6
+
+
 def _make_kitti_tree(root, seed=0):
     rng = np.random.RandomState(seed)
     seq_dir = os.path.join(root, "dataset", "sequences", "08")
