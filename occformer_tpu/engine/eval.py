@@ -32,12 +32,16 @@ def lidarseg_point_logits(
 
 
 def build_eval_step(model, occ_size: Tuple[int, int, int],
-                    num_classes: int) -> Callable:
+                    num_classes: int, panoptic: bool = False) -> Callable:
     """Returns jitted eval_step(variables, batch) -> dict.
 
     Outputs: voxel class scores upsampled to occ_size (argmax'ed), per-point
     predicted labels, and the 17x17 lidarseg confusion-matrix contribution
-    (device-side; rows/cols 1..16 are the fg classes).
+    (device-side; rows/cols 1..16 are the fg classes).  With ``panoptic``,
+    also the per-query point mask logits + final cls logits the host-side
+    panoptic formatting consumes (mask2former_nusc_panoptic_occ.py:515-563:
+    ``lidar_label`` then holds class*1000+instance ids; the semantic part
+    feeds the confusion matrix).
     """
 
     def eval_step(variables, batch):
@@ -55,8 +59,19 @@ def build_eval_step(model, occ_size: Tuple[int, int, int],
             logits = lidarseg_point_logits(voxels, batch["lidar_xyz"])
             pts_pred = jnp.argmax(logits[..., 1:], axis=-1) + 1  # skip empty
             result["point_pred"] = pts_pred.astype(jnp.int32)
+            if panoptic:
+                # per-query mask logits at the points: trilinear sampling
+                # commutes with the (linear) embed . feature contraction
+                feat_pts = grid_sample_3d(
+                    out["mask_feature"], batch["lidar_xyz"] * 2.0 - 1.0,
+                    align_corners=True, padding_mode="border")  # [B, P, C]
+                result["point_cls"] = out["cls_preds"][-1]
+                result["point_mask"] = jnp.einsum(
+                    "bqc,bpc->bqp", out["mask_embeds"][-1], feat_pts)
             if "lidar_label" in batch:
                 label = batch["lidar_label"]
+                if panoptic:
+                    label = label // 1000  # semantic part
                 valid = batch["lidar_valid"]
                 n = num_classes
                 idx = label * n + pts_pred
@@ -78,14 +93,24 @@ def evaluate(
     compute_ssc: bool = False,
     invalid_label: int = 255,
     save_cb=None,
+    panoptic: bool = False,
+    thing_indices=None,
 ) -> Dict[str, Any]:
-    """Full-split evaluation: lidarseg IoU table and/or SSC metrics.
+    """Full-split evaluation: lidarseg IoU table and/or SSC metrics; with
+    ``panoptic``, point-level PQ/SQ/RQ accumulated over the split
+    (reference panoptic recipe: PanopticEval(ignore=[0], min_points=15),
+    mask2former_nusc_panoptic_occ.py:148).
 
     ``save_cb(out, meta_list, batch)`` runs per batch on host — used by the
     submission writers (reference apis/test.py:161-167)."""
-    step = build_eval_step(model, occ_size, num_classes)
+    step = build_eval_step(model, occ_size, num_classes, panoptic=panoptic)
     cm = np.zeros((num_classes, num_classes), np.int64)
     ssc = SSCMetrics(num_classes) if compute_ssc else None
+    pan_eval = None
+    if panoptic:
+        from ..utils.panoptic import PanopticEval, format_panoptic_results
+
+        pan_eval = PanopticEval(num_classes, ignore=[0], min_points=15)
 
     for batch in loader:
         gt_occ = batch.pop("gt_occ", None)
@@ -98,6 +123,18 @@ def evaluate(
         if ssc is not None and gt_occ is not None:
             ssc.update(np.asarray(out["voxel_pred"]), np.asarray(gt_occ),
                        invalid_label)
+        if pan_eval is not None and "point_mask" in out \
+                and "lidar_label" in batch:
+            for b in range(out["point_cls"].shape[0]):
+                valid = np.asarray(batch["lidar_valid"][b])
+                sem_pred, pan_pred = format_panoptic_results(
+                    np.asarray(out["point_cls"][b]),
+                    np.asarray(out["point_mask"][b]),
+                    list(thing_indices or []))
+                pan_gt = np.asarray(batch["lidar_label"][b]).astype(np.int64)
+                pan_eval.add_batch(
+                    sem_pred[valid], pan_pred[valid],
+                    (pan_gt // 1000)[valid], pan_gt[valid])
 
     results: Dict[str, Any] = {}
     if cm.sum() > 0:
@@ -113,6 +150,11 @@ def evaluate(
         results["semkitti_SSC_mIoU"] = float(m["ssc_miou"])
         results["SSC_precision"] = float(m["precision"])
         results["SSC_recall"] = float(m["recall"])
+    if pan_eval is not None:
+        pq, sq, rq, _, _, _ = pan_eval.get_pq()
+        results["nuScenes_panoptic_PQ"] = float(pq)
+        results["nuScenes_panoptic_SQ"] = float(sq)
+        results["nuScenes_panoptic_RQ"] = float(rq)
     return results
 
 

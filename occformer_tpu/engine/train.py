@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..losses.mask2former_loss import MaskLossConfig, mask2former_loss
+from ..losses.mask2former_loss import (
+    MaskLossConfig, mask2former_loss, preprocess_panoptic_gt,
+)
 from ..models.lss import depth_bce_loss
 from ..utils.semkitti import kitti_class_weights, kitti_sample_weights
 
@@ -71,7 +73,39 @@ def build_loss_cfg(head_cfg: Dict, train_cfg: Dict) -> MaskLossConfig:
         use_lidar_points=is_nusc,
         point_cloud_range=tuple(head_cfg["point_cloud_range"])
         if head_cfg.get("point_cloud_range") else None,
+        panoptic=head_cfg.get("type") == "Mask2FormerNuscPanopticOccHead",
     )
+
+
+def _train_point_miou_device(out, batch, num_classes: int) -> jnp.ndarray:
+    """Device-side train-time LiDAR-seg mean IoU on the current batch.
+
+    The reference logs ``point_mean_iou`` every iteration
+    (mask2former_nusc_occ.py:524-540: final-layer formatted voxels, trilinear
+    readout at the LiDAR points with align_corners=True/border, argmax over
+    fg classes, fast_hist_crop to classes 1..16, nanmean per-class IoU); it
+    is a metric only — mmcv sums only dict keys containing 'loss'.
+    """
+    from ..models.mask2former_head import format_results, mask_logits_from_embeds
+    from ..ops.sampling import grid_sample_3d
+
+    voxels = format_results(
+        out["cls_preds"][-1],
+        mask_logits_from_embeds(out["mask_embeds"][-1], out["mask_feature"]))
+    coords = jnp.asarray(batch["lidar_xyz"]) * 2.0 - 1.0
+    logits = grid_sample_3d(voxels, coords, align_corners=True,
+                            padding_mode="border")
+    pred = jnp.argmax(logits[..., 1:], axis=-1) + 1
+    label = jnp.asarray(batch["lidar_label"])
+    lv = jnp.asarray(batch["lidar_valid"]) & (label > 0) & (label < num_classes)
+    n = num_classes
+    idx = jnp.where(lv, label * n + pred, n * n)
+    cm = jnp.bincount(idx.reshape(-1), length=n * n + 1)[:-1]
+    cm = cm.reshape(n, n)[1:, 1:].astype(jnp.float32)
+    tp = jnp.diagonal(cm)
+    denom = cm.sum(0) + cm.sum(1) - tp
+    iou = jnp.where(denom > 0, tp / jnp.maximum(denom, 1), jnp.nan)
+    return jnp.nanmean(iou)
 
 
 def build_train_step(
@@ -101,6 +135,13 @@ def build_train_step(
         out, mutated = model.apply(
             variables, batch, mutable=["batch_stats"], rngs={"dropout": drop_rng}
         )
+        gt_override = None
+        if loss_cfg.panoptic:
+            # voxel ids are class*1000+instance; the padded per-sample
+            # unique-id table comes from the data pipeline
+            # (LoadNuscPanopticOccupancyAnnotations)
+            gt_override = preprocess_panoptic_gt(
+                batch["gt_occ"], batch["panoptic_ids"], loss_cfg.num_classes)
         losses = mask2former_loss(
             loss_rng,
             out["cls_preds"],
@@ -110,6 +151,7 @@ def build_train_step(
             loss_cfg,
             lidar_xyz=batch.get("lidar_xyz"),
             lidar_valid=batch.get("lidar_valid"),
+            gt_override=gt_override,
         )
         vt_cfg = dict(model.img_view_transformer)
         losses["loss_depth"] = depth_bce_loss(
@@ -117,7 +159,13 @@ def build_train_step(
             dict(vt_cfg["grid_config"]), vt_cfg.get("downsample", 16),
             vt_cfg.get("loss_depth_weight", 1.0),
         )
-        total = sum(losses.values())
+        # mmcv _parse_losses semantics: only keys containing 'loss' are
+        # summed; other entries (point_mean_iou) are logged-only metrics
+        total = sum(v for k, v in losses.items() if "loss" in k)
+        if loss_cfg.use_lidar_points and "lidar_label" in batch \
+                and not loss_cfg.panoptic:
+            losses["point_mean_iou"] = _train_point_miou_device(
+                jax.lax.stop_gradient(out), batch, loss_cfg.num_classes)
         return total, (losses, mutated["batch_stats"])
 
     def train_step(state: TrainState, batch, rng):

@@ -60,6 +60,10 @@ class MaskLossConfig:
     sample_weight_gamma: Any = 0.25
     use_lidar_points: bool = False
     point_cloud_range: Optional[Tuple[float, ...]] = None
+    # panoptic heads: GT slots are class*1000+instance ids from the batch's
+    # padded ``panoptic_ids`` table (preprocess_panoptic_gt), not per-class
+    # binary masks (mask2former_nusc_panoptic_occ.py:25-835)
+    panoptic: bool = False
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):

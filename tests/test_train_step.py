@@ -29,8 +29,10 @@ def _train_batch(rng):
     lidar = rng.uniform(0, 1, size=(B, P, 3)).astype(np.float32)
     lidar_valid = np.ones((B, P), bool)
     lidar_valid[:, 100:] = False
+    lidar_label = rng.randint(
+        0, tiny_cfg.NUM_CLASSES, size=(B, P)).astype(np.int32)
     batch.update(gt_occ=gt_occ, gt_depth=depth, lidar_xyz=lidar,
-                 lidar_valid=lidar_valid)
+                 lidar_valid=lidar_valid, lidar_label=lidar_label)
     return batch
 
 
@@ -70,6 +72,13 @@ def test_train_step_updates_params():
     # every loss key present (3 intermediate layers + final + depth)
     assert {"loss_cls", "loss_mask", "loss_dice", "loss_depth"} <= set(metrics)
     assert "d0.loss_cls" in metrics
+    # train-time metric (reference point_mean_iou), logged but NOT summed
+    assert "point_mean_iou" in metrics
+    assert 0.0 <= float(metrics["point_mean_iou"]) <= 1.0
+    loss_sum = sum(float(v) for k, v in metrics.items()
+                   if "loss" in k and k != "total_loss")
+    np.testing.assert_allclose(float(metrics["total_loss"]), loss_sum,
+                               rtol=1e-5)
     # params actually moved
     diff = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params
@@ -162,3 +171,57 @@ def test_training_memorizes_fixed_batch():
     last = np.mean(losses[-10:])
     assert np.isfinite(last)
     assert last < 0.8 * first, f"no learning: first10={first:.3f} last10={last:.3f}"
+
+
+@pytest.mark.slow
+def test_train_step_panoptic():
+    """Panoptic head: GT slots come from the padded panoptic_ids table
+    (class*1000+instance), wired via loss_cfg.panoptic -> gt_override."""
+    cfg = tiny_cfg.model_cfg()
+    head = dict(cfg["pts_bbox_head"])
+    head["type"] = "Mask2FormerNuscPanopticOccHead"
+    cfg["pts_bbox_head"] = head
+    model = OccupancyFormer(
+        **{k: cfg[k] for k in (
+            "img_backbone", "img_neck", "img_view_transformer",
+            "img_bev_encoder_backbone", "img_bev_encoder_neck", "pts_bbox_head",
+        )},
+        train=True,
+    )
+    loss_cfg = build_loss_cfg(
+        head, dict(num_points=64, oversample_ratio=2.0))
+    assert loss_cfg.panoptic
+
+    rng = np.random.RandomState(0)
+    batch = _train_batch(rng)
+    X, Y, Z = tiny_cfg.OCC_SIZE
+    # panoptic voxel ids: a few class*1000+instance objects + empty(0)/noise
+    ids = np.array([1001, 1002, 2001, 3001], np.int32)
+    gt = np.zeros((1, X, Y, Z), np.int32)
+    flat = rng.randint(0, len(ids) + 1, size=gt.size)
+    gt.reshape(-1)[flat > 0] = ids[flat[flat > 0] - 1]
+    gt[0, 0, 0, :] = 65535  # noise -> ignored
+    pad = np.full((1, 8), -1, np.int64)
+    pad[0, : len(ids)] = ids
+    batch["gt_occ"] = gt
+    batch["panoptic_ids"] = pad
+
+    lr = step_lr_schedule(1e-4, steps_per_epoch=10, milestones_epochs=[20, 23])
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, batch)
+    tx = build_optimizer(variables["params"], lr=lr, grad_clip=5.0)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = jax.jit(build_train_step(model, tx, loss_cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)), f"{k} not finite: {v}"
+    assert float(metrics["total_loss"]) > 0
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0

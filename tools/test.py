@@ -116,6 +116,7 @@ def main():
                                         f"{token}_lidarseg.bin")
                     write_nusc_lidarseg_bin(preds, path)
 
+    head_cfg = cfg["model"].get("pts_bbox_head", {}) or {}
     results = evaluate(
         model, variables, loader,
         occ_size=tuple(cfg["occ_size"]),
@@ -123,6 +124,8 @@ def main():
         class_names=cfg.get("class_names"),
         compute_ssc=is_kitti,
         save_cb=save_cb,
+        panoptic=head_cfg.get("type") == "Mask2FormerNuscPanopticOccHead",
+        thing_indices=head_cfg.get("thing_indices"),
     )
     if args.test_save and not is_kitti:
         import json as _json

@@ -29,6 +29,8 @@ def main():
     p.add_argument("--max-lidar", type=int, default=35000)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--accum-steps", type=int, default=1)
+    p.add_argument("--no-donate", action="store_true",
+                   help="disable input-state donation (debug)")
     args = p.parse_args()
 
     import jax
@@ -101,6 +103,17 @@ def main():
     if is_nusc:
         batch["lidar_xyz"] = rng.uniform(0, 1, (B, args.max_lidar, 3)).astype(np.float32)
         batch["lidar_valid"] = np.ones((B, args.max_lidar), bool)
+    if head_cfg.get("type") == "Mask2FormerNuscPanopticOccHead":
+        # panoptic voxel ids class*1000+instance with the padded id table
+        S = 100
+        ids = np.array([c * 1000 + i for c in range(1, 11) for i in range(5)],
+                       np.int32)
+        gt = ids[rng.randint(0, len(ids), (B, X, Y, Z))]
+        gt[rng.rand(B, X, Y, Z) < 0.8] = 0
+        pad = np.full((B, S), -1, np.int64)
+        pad[:, : len(ids)] = ids
+        batch["gt_occ"] = gt.astype(np.int32)
+        batch["panoptic_ids"] = pad
 
     train_pts = dict(m.get("train_cfg", {}).get("pts", {}))
     if args.num_points is not None:
@@ -121,7 +134,7 @@ def main():
     )
     step_fn = jax.jit(
         build_train_step(model, tx, loss_cfg, accum_steps=args.accum_steps),
-        donate_argnums=(0,))
+        donate_argnums=() if args.no_donate else (0,))
 
     t0 = time.time()
     state, metrics = step_fn(state, batch, key)

@@ -165,12 +165,15 @@ def main():
         )
         eval_model = model.clone(train=False)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        head_cfg = cfg["model"].get("pts_bbox_head", {}) or {}
         results = evaluate(
             eval_model, variables, val_loader,
             occ_size=tuple(cfg.get("occ_size", (32, 32, 16))),
             num_classes=cfg.get("num_class", 17),
             class_names=cfg.get("class_names"),
             compute_ssc="semkitti" in str(save_best_key).lower(),
+            panoptic=head_cfg.get("type") == "Mask2FormerNuscPanopticOccHead",
+            thing_indices=head_cfg.get("thing_indices"),
         )
         print(format_iou_table(results))
         return results
