@@ -74,6 +74,14 @@ def build_loss_cfg(head_cfg: Dict, train_cfg: Dict) -> MaskLossConfig:
         point_cloud_range=tuple(head_cfg["point_cloud_range"])
         if head_cfg.get("point_cloud_range") else None,
         panoptic=head_cfg.get("type") == "Mask2FormerNuscPanopticOccHead",
+        # panoptic pads to ~100 gt slots (vs 17 semantic class slots); chunk
+        # the supervision sampling so its temps stay at semantic scale
+        # (2 chunks measured best: more unrolled chunks inflate generated
+        # code, which counts against the same 15.75G HBM as the temps)
+        gt_chunks=int(head_cfg.get(
+            "gt_chunks",
+            2 if head_cfg.get("type") == "Mask2FormerNuscPanopticOccHead"
+            else 1)),
     )
 
 

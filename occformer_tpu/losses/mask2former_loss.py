@@ -29,7 +29,7 @@ from .matching import auction_match, mask_matching_cost
 from .point_sampling import (
     gumbel_topk_sample,
     sample_with_frequencies,
-    uncertainty_sample_coords,
+    uncertainty_topk,
     unravel_3d,
 )
 from .seg_losses import dice_loss
@@ -64,6 +64,12 @@ class MaskLossConfig:
     # padded ``panoptic_ids`` table (preprocess_panoptic_gt), not per-class
     # binary masks (mask2former_nusc_panoptic_occ.py:25-835)
     panoptic: bool = False
+    # process GT slots in this many sequential, individually-rematerialized
+    # chunks in the supervision-point sampling (numerically identical; a
+    # memory lever for panoptic's 100 slots vs the semantic 17 — the
+    # [G, num_points*oversample] sampling temps and the [G, X*Y*Z] pos-mask
+    # scatter in backward scale with G).  1 = off.
+    gt_chunks: int = 1
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
@@ -209,11 +215,10 @@ def _loss_single_sample(
     gt_w = jnp.where(gt_valid, class_weight[gt_labels], 0.0)
 
     # ---- 3. supervision points (no grad, reference torch.no_grad) -------
-    # positive predicted masks aligned to gt slots
-    pos_masks = mask_pred[jnp.clip(assign_q, 0, Q - 1)]  # [G, X, Y, Z]
     num_sampled = int(cfg.num_points * cfg.oversample_ratio)
     if cfg.use_lidar_points:
-        # candidates: LiDAR points + random fill (mmdet_utils.py:138-177)
+        # candidates: LiDAR points + random fill (mmdet_utils.py:138-177) —
+        # ONE shared candidate set for every gt slot
         perm = gumbel_topk_sample(r_sup, lidar_valid.astype(jnp.float32),
                                   min(num_sampled, lidar_xyz.shape[0]))
         cand = lidar_xyz[perm]
@@ -226,24 +231,62 @@ def _loss_single_sample(
                 jax.random.fold_in(r_sup, 8),
                 (num_sampled - cand.shape[0], 3), jnp.float32)
             cand = jnp.concatenate([cand, extra], axis=0)
-        cand = jnp.broadcast_to(cand[None], (G,) + cand.shape)
-        cand_logits = point_sample_3d(
-            pos_masks[..., None], cand, align_corners=False,
-            padding_mode=cfg.padding_mode,
-        )[..., 0]  # [G, S]  (reference samples with default align_corners)
-        sup_coords = uncertainty_sample_coords(
-            r_sup2, cand, jax.lax.stop_gradient(cand_logits),
-            cfg.num_points, cfg.importance_sample_ratio,
-        )
-        sup_pred = point_sample_3d(
-            pos_masks[..., None], sup_coords,
-            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
-        )[..., 0]
-        sup_tgt = point_sample_3d(
-            gt_masks[..., None], sup_coords,
-            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
-        )[..., 0]
-        sup_tgt = jax.lax.stop_gradient(sup_tgt)
+        n_unc = int(cfg.importance_sample_ratio * cfg.num_points)
+        n_rand = cfg.num_points - n_unc
+        # the random-fill coords are pre-drawn for ALL slots so gt_chunks is
+        # bit-transparent (same single rng draw regardless of chunking)
+        rand_all = jax.random.uniform(r_sup2, (G, n_rand, 3), jnp.float32) \
+            if n_rand > 0 else None
+
+        def sup_chunk(assign_c, gt_masks_c, rand_c):
+            """Per-slot sampling for a chunk of gt slots: pos-mask gather,
+            uncertainty sampling on the shared candidates, pred/target
+            readout.  Rematerialized per chunk so only one chunk's
+            [g, num_sampled] temps and pos-mask backward scatter are live."""
+            g = assign_c.shape[0]
+            pos_c = mask_pred[jnp.clip(assign_c, 0, Q - 1)]  # [g, X, Y, Z]
+            cand_c = jnp.broadcast_to(cand[None], (g,) + cand.shape)
+            cand_logits = point_sample_3d(
+                pos_c[..., None], cand_c, align_corners=False,
+                padding_mode=cfg.padding_mode,
+            )[..., 0]  # [g, S]  (reference samples with default align_corners)
+            idx = uncertainty_topk(
+                jax.lax.stop_gradient(cand_logits), n_unc)
+            sup_coords = jnp.take_along_axis(cand_c, idx[..., None], axis=1)
+            if rand_c is not None:
+                sup_coords = jnp.concatenate([sup_coords, rand_c], axis=1)
+            sup_pred_c = point_sample_3d(
+                pos_c[..., None], sup_coords,
+                align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+            )[..., 0]
+            sup_tgt_c = point_sample_3d(
+                gt_masks_c[..., None], sup_coords,
+                align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+            )[..., 0]
+            return sup_pred_c, jax.lax.stop_gradient(sup_tgt_c)
+
+        K = max(1, min(cfg.gt_chunks, G))
+        if K == 1:
+            sup_pred, sup_tgt = sup_chunk(assign_q, gt_masks, rand_all)
+        else:
+            bounds = [round(i * G / K) for i in range(K + 1)]
+            chunk_fn = jax.checkpoint(sup_chunk)
+            preds, tgts = [], []
+            assign_dep = assign_q
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if preds:
+                    # tie each chunk to the previous one's output: without
+                    # the barrier XLA schedules all chunk forwards
+                    # concurrently and their [g, num_sampled] temps coexist
+                    assign_dep, _ = jax.lax.optimization_barrier(
+                        (assign_dep, preds[-1]))
+                p_c, t_c = chunk_fn(
+                    assign_dep[s:e], gt_masks[s:e],
+                    None if rand_all is None else rand_all[s:e])
+                preds.append(p_c)
+                tgts.append(t_c)
+            sup_pred = jnp.concatenate(preds, axis=0)
+            sup_tgt = jnp.concatenate(tgts, axis=0)
         # nusc mask loss: unweighted points, avg = sum(gt_w) * num_points
         mask_num = jnp.sum(
             _bce_elem(sup_pred, sup_tgt) * (gt_w[:, None] > 0)
@@ -251,6 +294,8 @@ def _loss_single_sample(
         mask_avg = jnp.sum(gt_w) * cfg.num_points
     else:
         # frequency + uncertainty importance sampling (mmdet_utils.py:179-246)
+        # positive predicted masks aligned to gt slots
+        pos_masks = mask_pred[jnp.clip(assign_q, 0, Q - 1)]  # [G, X, Y, Z]
         vox_shape = gt_masks.shape[1:]
         pred_same_grid = tuple(mask_pred.shape[1:]) == tuple(vox_shape)
         w = sample_weights[gt_labels] * gt_valid.astype(jnp.float32)
@@ -277,7 +322,6 @@ def _loss_single_sample(
             cand_logits = sample_pred(idx_to_coords(cand_idx))
         n_unc = int(cfg.importance_sample_ratio * cfg.num_points)
         n_rand = cfg.num_points - n_unc
-        from .point_sampling import uncertainty_topk
         top = uncertainty_topk(jax.lax.stop_gradient(cand_logits), n_unc)
         sup_idx = jnp.take_along_axis(cand_idx, top, axis=1)
         if n_rand > 0:

@@ -78,3 +78,40 @@ def test_deterministic_given_rng(rng):
                           lidar_xyz=lidar, lidar_valid=valid)
     for k in l1:
         assert float(l1[k]) == float(l2[k]), k
+
+
+def test_gt_chunks_bit_transparent(rng):
+    """gt_chunks is a pure remat/memory lever: losses AND gradients are
+    identical to the unchunked path (the random-fill coords are pre-drawn
+    for all slots, so chunking never changes an rng draw)."""
+    import dataclasses
+
+    cfg1 = _cfg(use_lidar=True)
+    cfg3 = dataclasses.replace(cfg1, gt_chunks=3)
+    cls, emb, feat = _outputs(rng)
+    gt = jnp.asarray(rng.randint(0, 4, (1, 16, 16, 8)).astype(np.int32))
+    lidar = jnp.asarray(rng.rand(1, 32, 3).astype(np.float32))
+    valid = jnp.ones((1, 32), bool)
+
+    def run(cfg, emb_, feat_):
+        return mask2former_loss(jax.random.PRNGKey(3), cls, emb_, feat_, gt,
+                                cfg, lidar_xyz=lidar, lidar_valid=valid)
+
+    l1 = run(cfg1, emb, feat)
+    l3 = run(cfg3, emb, feat)
+    assert set(l1) == set(l3)
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l3[k]), rtol=1e-6,
+                                   err_msg=k)
+
+    def total(cfg):
+        def f(args):
+            emb_, feat_ = args
+            return sum(run(cfg, emb_, feat_).values())
+        return jax.grad(f)((emb, feat))
+
+    g1 = total(cfg1)
+    g3 = total(cfg3)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
