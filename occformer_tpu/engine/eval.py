@@ -158,30 +158,6 @@ def evaluate(
     return results
 
 
-def train_point_miou(cls_preds, mask_embeds, mask_feature, batch,
-                     num_classes: int) -> float:
-    """Train-time LiDAR-seg mean IoU on the current batch (host-side).
-
-    Mirrors the reference's ``point_mean_iou`` training metric
-    (mask2former_nusc_occ.py:524-540): readout of the fused voxel logits at
-    the LiDAR points, argmax over foreground classes, nanmean per-class IoU.
-    """
-    from .eval import lidarseg_point_logits  # self-import safe
-    from ..utils.metrics import per_class_iou
-
-    voxels = format_results(
-        cls_preds[-1], mask_logits_from_embeds(mask_embeds[-1], mask_feature))
-    logits = lidarseg_point_logits(voxels, jnp.asarray(batch["lidar_xyz"]))
-    pred = np.asarray(jnp.argmax(logits[..., 1:], axis=-1) + 1)
-    label = np.asarray(batch["lidar_label"])
-    valid = np.asarray(batch["lidar_valid"]) & (label > 0)
-    n = num_classes
-    cm = np.bincount(
-        (label[valid] * n + pred[valid]).reshape(-1), minlength=n * n
-    ).reshape(n, n)[1:, 1:]
-    return float(np.nanmean(per_class_iou(cm)))
-
-
 def format_iou_table(results: Dict[str, float]) -> str:
     """PrettyTable-style text report (utils/formating.py:14-47)."""
     lines = ["| metric | value |", "|---|---|"]
