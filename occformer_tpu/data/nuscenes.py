@@ -91,11 +91,31 @@ class CustomNuScenesOccLSSDataset:
         input_dict["lidar2cam_dic"] = lidar2cam_dic
         return input_dict
 
-    def __getitem__(self, index: int) -> Dict:
+    def _run_pipeline(self, index: int) -> Dict:
         results = self.get_data_info(index)
         for step in self.pipeline:
             results = step(results)
         return results
+
+    def __getitem__(self, index: int) -> Dict:
+        if self.test_mode:
+            return self._run_pipeline(index)
+        # train mode: a corrupt/unreadable sample is replaced by a random
+        # other one (reference _rand_another retry loop,
+        # nuscenes_lss_dataset.py:23-29) instead of killing the epoch
+        for _ in range(50):
+            try:
+                results = self._run_pipeline(index)
+            except Exception as e:  # noqa: BLE001 — any IO/decode failure
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "sample %d failed (%s); retrying a random other", index, e)
+                results = None
+            if results is not None:
+                return results
+            index = int(np.random.randint(len(self)))
+        raise RuntimeError("50 consecutive corrupt samples — dataset broken?")
 
     def evaluate_lidarseg(self, confusion_matrix: np.ndarray) -> Dict:
         """Confusion matrix (16 fg classes) -> per-class IoU + mean

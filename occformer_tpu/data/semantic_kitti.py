@@ -121,8 +121,28 @@ class CustomSemanticKITTILssDataset:
             pc_range=self.pc_range,
         )
 
-    def __getitem__(self, index: int) -> Dict:
+    def _run_pipeline(self, index: int) -> Dict:
         results = self.get_data_info(index)
         for step in self.pipeline:
             results = step(results)
         return results
+
+    def __getitem__(self, index: int) -> Dict:
+        if self.test_mode:
+            return self._run_pipeline(index)
+        # train mode: retry a random other sample on failure (reference
+        # _rand_another loop, nuscenes_lss_dataset.py:23-29 /
+        # mmdet3d Custom3DDataset)
+        for _ in range(50):
+            try:
+                results = self._run_pipeline(index)
+            except Exception as e:  # noqa: BLE001 — any IO/decode failure
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "sample %d failed (%s); retrying a random other", index, e)
+                results = None
+            if results is not None:
+                return results
+            index = int(np.random.randint(len(self)))
+        raise RuntimeError("50 consecutive corrupt samples — dataset broken?")

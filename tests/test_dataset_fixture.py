@@ -282,3 +282,38 @@ def test_kitti_train_pipeline_from_disk(tmp_path):
     batch = next(iter(ShardedLoader(ds, batch_size=1, shuffle=False)))
     assert batch["imgs"].shape == (1, 1, H, W, 3)
     assert batch["gt_occ"].shape == (1, 256, 256, 32)
+
+
+def test_corrupt_sample_retry(tmp_path):
+    """Train mode replaces a corrupt sample with a random other one
+    (reference _rand_another loop, nuscenes_lss_dataset.py:23-29); test mode
+    surfaces the error."""
+    cfg = load_config(os.path.join(
+        REPO, "occformer_tpu/configs/occformer_kitti.py"))
+    root = str(tmp_path / "kitti")
+    label_root = _make_kitti_tree(root)
+    seq_dir = os.path.join(root, "dataset", "sequences", "08")
+    # second frame: valid voxels/velodyne/labels but a truncated image
+    np.fromfile(os.path.join(seq_dir, "velodyne", "000000.bin"),
+                np.float32).tofile(os.path.join(seq_dir, "velodyne",
+                                                "000001.bin"))
+    open(os.path.join(seq_dir, "voxels", "000001.bin"), "wb").close()
+    with open(os.path.join(seq_dir, "image_2", "000001.png"), "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot-really-a-png")
+    np.save(os.path.join(label_root, "08", "000001_1_1.npy"),
+            np.zeros((256, 256, 32), np.uint16))
+
+    from occformer_tpu.data.semantic_kitti import CustomSemanticKITTILssDataset
+
+    dcfg = dict(cfg["data"]["train"])
+    dcfg.update(data_root=root, ann_file=label_root, split="val")
+    dcfg.pop("type", None)
+    ds = CustomSemanticKITTILssDataset(**dcfg)
+    assert len(ds) == 2
+    np.random.seed(0)
+    s = ds[1]  # corrupt index -> retries into the good sample
+    assert s["frame_id"] == "000000"
+
+    ds_test = CustomSemanticKITTILssDataset(**{**dcfg, "test_mode": True})
+    with pytest.raises(Exception):
+        ds_test[1]
