@@ -242,6 +242,10 @@ class CustomEfficientNet(nn.Module):
         for li, layer in enumerate(setting[1:-1]):
             for bi, (k, oc, se, s, e, btype) in enumerate(layer):
                 cls = MBConv if btype == 0 else EdgeResidual
+                if self.with_cp and self.train:
+                    # mmdet with_cp = per-block torch.utils.checkpoint
+                    # (efficientnet.py reference); param names unchanged
+                    cls = nn.remat(cls)
                 y = cls(out_channels=oc, kernel=k, stride=s, expand_ratio=e,
                         se_divisor=se, drop_path=dprs[block_idx],
                         train=self.train, dtype=self.dtype,
