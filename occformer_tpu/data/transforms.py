@@ -65,16 +65,23 @@ def img_transform_core(img: Image.Image, resize_dims, crop, flip, rotate_deg):
 def mmlab_normalize(img: Image.Image, img_norm_cfg=None) -> np.ndarray:
     """uint8 PIL -> normalized float32 [H, W, 3] (loading_nusc_imgs.py:181-195).
 
-    Note: the reference reads with mmcv (BGR) and normalizes with to_rgb=True,
-    i.e. the network consumes RGB; PIL already gives RGB so no channel swap.
+    mmcv semantics: images are read BGR; ``to_rgb=True`` converts to RGB
+    before normalizing (torchvision-style configs, RGB means), while
+    ``to_rgb=False`` keeps BGR — the caffe-pretrained R101-DCN consumes BGR
+    with BGR-ordered means (r101 config img_norm_cfg).  PIL gives RGB, so
+    to_rgb=True needs no swap and to_rgb=False swaps RGB -> BGR here.
     """
     if img_norm_cfg is None:
         mean = np.array([123.675, 116.28, 103.53], np.float32)
         std = np.array([58.395, 57.12, 57.375], np.float32)
+        to_rgb = True
     else:
         mean = np.asarray(img_norm_cfg["mean"], np.float32)
         std = np.asarray(img_norm_cfg["std"], np.float32)
+        to_rgb = bool(img_norm_cfg.get("to_rgb", True))
     arr = np.asarray(img, np.float32)
+    if not to_rgb:
+        arr = arr[:, :, ::-1]  # network consumes BGR (caffe-style weights)
     return (arr - mean) / std
 
 

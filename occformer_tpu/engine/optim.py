@@ -49,7 +49,8 @@ def backbone_freeze_mask(params, backbone_cfg: Optional[Dict]) -> Optional[Any]:
     under the top-level ``backbone`` key.
     """
     cfg = dict(backbone_cfg or {})
-    frozen_stages = int(cfg.get("frozen_stages", -1) or -1)
+    fs = cfg.get("frozen_stages")
+    frozen_stages = -1 if fs is None else int(fs)  # 0 is valid: freeze stem
     norm_frozen = (cfg.get("norm_cfg") or {}).get("requires_grad", True) is False
     if frozen_stages < 0 and not norm_frozen:
         return None

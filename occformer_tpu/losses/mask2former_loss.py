@@ -29,6 +29,7 @@ from .matching import auction_match, mask_matching_cost
 from .point_sampling import (
     gumbel_topk_sample,
     sample_with_frequencies,
+    uncertainty_sample_coords,
     uncertainty_topk,
     unravel_3d,
 )
@@ -250,11 +251,9 @@ def _loss_single_sample(
                 pos_c[..., None], cand_c, align_corners=False,
                 padding_mode=cfg.padding_mode,
             )[..., 0]  # [g, S]  (reference samples with default align_corners)
-            idx = uncertainty_topk(
-                jax.lax.stop_gradient(cand_logits), n_unc)
-            sup_coords = jnp.take_along_axis(cand_c, idx[..., None], axis=1)
-            if rand_c is not None:
-                sup_coords = jnp.concatenate([sup_coords, rand_c], axis=1)
+            sup_coords = uncertainty_sample_coords(
+                None, cand_c, jax.lax.stop_gradient(cand_logits),
+                cfg.num_points, cfg.importance_sample_ratio, rand=rand_c)
             sup_pred_c = point_sample_3d(
                 pos_c[..., None], sup_coords,
                 align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,

@@ -73,17 +73,20 @@ def uncertainty_topk(
 
 
 def uncertainty_sample_coords(
-    rng: jax.Array,
+    rng: Optional[jax.Array],
     candidate_coords: jnp.ndarray,  # [G, S, 3] in [0, 1]
     point_logits: jnp.ndarray,      # [G, S]
     num_points: int,
     importance_sample_ratio: float = 0.75,
+    rand: Optional[jnp.ndarray] = None,  # pre-drawn [G, n_rand, 3] fill
 ) -> jnp.ndarray:
     """Oversampled candidates -> uncertainty top-k + uniform-random fill.
 
     Mirrors get_uncertain_point_coords_3d / get_nusc_lidarseg_point_coords
     (mmdet_utils.py:138-246): take the most-uncertain 75% from candidates and
-    fill the rest with fresh uniform coords.
+    fill the rest with fresh uniform coords.  ``rand`` lets the caller
+    pre-draw the fill for ALL gt slots so chunked invocations stay
+    bit-identical to an unchunked one (mask2former_loss gt_chunks).
     Returns [G, num_points, 3].
     """
     G, S, _ = candidate_coords.shape
@@ -92,6 +95,7 @@ def uncertainty_sample_coords(
     idx = uncertainty_topk(point_logits, n_unc)  # [G, n_unc]
     picked = jnp.take_along_axis(candidate_coords, idx[..., None], axis=1)
     if n_rand > 0:
-        rand = jax.random.uniform(rng, (G, n_rand, 3), jnp.float32)
+        if rand is None:
+            rand = jax.random.uniform(rng, (G, n_rand, 3), jnp.float32)
         picked = jnp.concatenate([picked, rand], axis=1)
     return picked

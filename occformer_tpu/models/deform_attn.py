@@ -138,11 +138,18 @@ class MultiScaleDeformableAttention3D(nn.Module):
         else:
             bounds = [round(i * Nq / K) for i in range(K + 1)]
             chunk_fn = jax.checkpoint(sample)
-            out = jnp.concatenate(
-                [chunk_fn(locs_flat[:, s:e], weights_flat[:, s:e])
-                 for s, e in zip(bounds[:-1], bounds[1:])],
-                axis=1,
-            )
+            chunks = []
+            locs_dep = locs_flat
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if chunks:
+                    # serialize chunks: without the barrier XLA schedules
+                    # all chunk forwards concurrently and their padded
+                    # gather temps coexist (same pattern as the gt_chunks
+                    # and per-camera-scatter levers)
+                    locs_dep, _ = jax.lax.optimization_barrier(
+                        (locs_dep, chunks[-1]))
+                chunks.append(chunk_fn(locs_dep[:, s:e], weights_flat[:, s:e]))
+            out = jnp.concatenate(chunks, axis=1)
 
         out = out.reshape(B, Nq, C)
         out = Linear(C, dtype=self.dtype, name="output_proj")(out)

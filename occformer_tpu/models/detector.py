@@ -63,6 +63,7 @@ def translate_cfg(cfg: Dict, train: bool, dtype) -> Tuple[Any, Dict]:
             arch=cfg.get("arch", "b0"),
             out_indices=tuple(cfg.get("out_indices", (6,))),
             drop_path_rate=cfg.get("drop_path_rate", 0.0),
+            with_cp=cfg.get("with_cp", True),
         )
         return CustomEfficientNet, kwargs
     if t == "SECONDFPN":

@@ -119,3 +119,49 @@ def test_submission_write_and_validate(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "submission valid" in r2.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_load_from(tmp_path):
+    """cfg/CLI load_from initializes model weights from a converted
+    {'params','batch_stats'} checkpoint (step stays 0), mmdet semantics."""
+    # first run writes full-TrainState checkpoints; strip one down to the
+    # converted format convert_checkpoint.py emits
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"), CFG,
+         "--work-dir", str(tmp_path / "w1"), "--max-steps", "1", "--cpu"],
+        capture_output=True, text=True, timeout=1500, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    import numpy as np
+    from occformer_tpu.engine.checkpoint import (
+        latest_checkpoint, load_checkpoint, save_checkpoint,
+    )
+    import orbax.checkpoint as ocp
+
+    full = ocp.StandardCheckpointer().restore(
+        latest_checkpoint(str(tmp_path / "w1" / "ckpts")))
+    weights = {"params": full["params"], "batch_stats": full["batch_stats"]}
+    save_checkpoint(str(tmp_path / "conv"), weights, 0)
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"), CFG,
+         "--work-dir", str(tmp_path / "w2"), "--max-steps", "1", "--cpu",
+         "--load-from", str(tmp_path / "conv")],
+        capture_output=True, text=True, timeout=1500, cwd=REPO,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "loaded model weights from" in r2.stdout
+    # training starts at step 0 (load_from is not resume)
+    assert "training done at step 1" in r2.stdout
+
+    # missing path: warn and continue from random init
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"), CFG,
+         "--work-dir", str(tmp_path / "w3"), "--max-steps", "1", "--cpu",
+         "--load-from", str(tmp_path / "nope")],
+        capture_output=True, text=True, timeout=1500, cwd=REPO,
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert "not found" in r3.stdout

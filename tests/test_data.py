@@ -149,3 +149,23 @@ def test_create_data_sensor2lidar_roundtrip():
     p_lidar_ref = np.linalg.inv(lidar2global)[:3, :3] @ p_global + \
         np.linalg.inv(lidar2global)[:3, 3]
     np.testing.assert_allclose(r @ p_cam + t, p_lidar_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_mmlab_normalize_to_rgb_semantics():
+    """to_rgb=False (caffe-style R101) feeds the network BGR with BGR means;
+    to_rgb=True keeps PIL's RGB (mmcv imnormalize semantics)."""
+    from PIL import Image
+    from occformer_tpu.data.transforms import mmlab_normalize
+
+    img = Image.fromarray(
+        np.stack([np.full((2, 2), 200, np.uint8),     # R
+                  np.full((2, 2), 100, np.uint8),     # G
+                  np.full((2, 2), 50, np.uint8)], -1))  # B
+    rgb_cfg = dict(mean=[10.0, 20.0, 30.0], std=[1.0, 2.0, 4.0], to_rgb=True)
+    out = mmlab_normalize(img, rgb_cfg)
+    np.testing.assert_allclose(out[0, 0], [(200 - 10) / 1, (100 - 20) / 2,
+                                           (50 - 30) / 4])
+    bgr_cfg = dict(mean=[10.0, 20.0, 30.0], std=[1.0, 2.0, 4.0], to_rgb=False)
+    out = mmlab_normalize(img, bgr_cfg)
+    np.testing.assert_allclose(out[0, 0], [(50 - 10) / 1, (100 - 20) / 2,
+                                           (200 - 30) / 4])

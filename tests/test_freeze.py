@@ -107,3 +107,16 @@ def test_resnet_frozen_stages_stop_gradient():
             np.testing.assert_array_equal(np.asarray(leaf), 0.0)
     live = jax.tree_util.tree_leaves(grads["layer2_0"])
     assert any(np.abs(np.asarray(l)).max() > 0 for l in live)
+
+
+def test_freeze_mask_stage_zero():
+    """frozen_stages=0 (the flagship R50 config) freezes the STEM only —
+    regression: `or -1` used to swallow the falsy 0."""
+    params = _tiny_params()
+    mask = backbone_freeze_mask(params, dict(frozen_stages=0))
+    assert mask is not None
+    b = mask["backbone"]
+    assert b["conv1"]["Conv_0"]["kernel"] is True
+    assert b["bn1"]["BatchNorm_0"]["scale"] is True
+    assert b["layer1_0"]["conv1"]["Conv_0"]["kernel"] is False
+    assert mask["head"]["cls"]["kernel"] is False

@@ -68,7 +68,10 @@ def main():
         dtype=dtype,
     )
 
-    dataset = build_from_cfg(dict(cfg["data"]["test"]), DATASETS)
+    # test_mode: IO errors surface instead of hitting the train-mode
+    # corrupt-sample retry (mmdet build_dataset(..., dict(test_mode=True)))
+    dataset = build_from_cfg({**dict(cfg["data"]["test"]), "test_mode": True},
+                             DATASETS)
     loader = build_dataloader(
         dataset, samples_per_gpu=1, shuffle=False,
         num_hosts=jax.process_count(), host_id=jax.process_index(),

@@ -117,6 +117,23 @@ def main():
     first.pop("_meta", None)
     rng = jax.random.PRNGKey(args.seed)
     variables = jax.jit(model.init)({"params": rng, "dropout": rng}, first)
+
+    # mmdet load_from: initialize model weights from a converted checkpoint
+    # ({'params','batch_stats'} tree written by tools/convert_checkpoint.py),
+    # step stays 0 (apis/mmdet_train.py:195-198).  Resume takes precedence.
+    load_from = args.load_from or cfg.get("load_from")
+    if load_from:
+        lf = latest_checkpoint(load_from) or load_from
+        if os.path.isdir(lf):
+            target = {"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {})}
+            restored = load_checkpoint(lf, target)
+            variables = {**variables, **restored}
+            print(f"loaded model weights from {lf}")
+        else:
+            print(f"WARNING: load_from={load_from} not found; "
+                  "training from random init")
+
     tx = build_optimizer(
         variables["params"], lr=lr,
         weight_decay=opt_cfg.get("weight_decay", 0.01),
@@ -157,7 +174,10 @@ def main():
         val_cfg = cfg.get("data", {}).get("val")
         if not val_cfg:
             return None
-        val_ds = build_from_cfg(dict(val_cfg), DATASETS)
+        # eval datasets run in test_mode (mmdet build_dataset(...,
+        # dict(test_mode=True))): IO errors must surface, never be silently
+        # replaced by the train-mode corrupt-sample retry
+        val_ds = build_from_cfg({**dict(val_cfg), "test_mode": True}, DATASETS)
         val_loader = build_dataloader(
             val_ds, samples_per_gpu=1, shuffle=False,
             num_hosts=n_hosts, host_id=jax.process_index(),
