@@ -19,32 +19,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("config", nargs="?",
-                   default="occformer_tpu/configs/occformer_nusc_r50_256x704.py")
-    p.add_argument("--num-points", type=int, default=None,
-                   help="override the config's train_cfg.pts.num_points")
-    p.add_argument("--steps", type=int, default=3)
-    p.add_argument("--max-lidar", type=int, default=35000)
-    p.add_argument("--batch-size", type=int, default=1)
-    p.add_argument("--accum-steps", type=int, default=1)
-    p.add_argument("--no-donate", action="store_true",
-                   help="disable input-state donation (debug)")
-    args = p.parse_args()
+def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
+                num_points=None, seed: int = 0):
+    """(model, synthetic batch, loss_cfg, cfg) at a config's exact shapes.
 
-    import jax
+    Shared by the train trial and tools/memory_analysis.py so both drive
+    byte-identical programs.
+    """
     import jax.numpy as jnp
     import numpy as np
 
     from occformer_tpu.config import load_config
-    from occformer_tpu.engine.optim import build_optimizer, step_lr_schedule
-    from occformer_tpu.engine.train import TrainState, build_loss_cfg, build_train_step
+    from occformer_tpu.engine.train import build_loss_cfg
     from occformer_tpu.models.detector import OccupancyFormer
-    from occformer_tpu.utils.profiling import device_memory_stats
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg_path = args.config
     if not os.path.isabs(cfg_path):
         cfg_path = os.path.join(repo, cfg_path)
     cfg = load_config(cfg_path)
@@ -60,7 +49,7 @@ def main():
         dtype=jnp.bfloat16,
     )
     data_config = cfg["data_config"]
-    B = args.batch_size
+    B = batch_size
     N = data_config.get("Ncams", 1)
     H, W = data_config["input_size"]
     X, Y, Z = cfg["occ_size"]
@@ -79,7 +68,7 @@ def main():
         fx, post_scale = 718.0, 1.0
         cx, cy = W / 2, H / 2
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     intrins = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
     intrins[..., 0, 0] = fx
     intrins[..., 1, 1] = fx
@@ -101,8 +90,8 @@ def main():
         "gt_depth": depth,
     }
     if is_nusc:
-        batch["lidar_xyz"] = rng.uniform(0, 1, (B, args.max_lidar, 3)).astype(np.float32)
-        batch["lidar_valid"] = np.ones((B, args.max_lidar), bool)
+        batch["lidar_xyz"] = rng.uniform(0, 1, (B, max_lidar, 3)).astype(np.float32)
+        batch["lidar_valid"] = np.ones((B, max_lidar), bool)
     if head_cfg.get("type") == "Mask2FormerNuscPanopticOccHead":
         # panoptic voxel ids class*1000+instance with the padded id table
         S = 100
@@ -116,9 +105,37 @@ def main():
         batch["panoptic_ids"] = pad
 
     train_pts = dict(m.get("train_cfg", {}).get("pts", {}))
-    if args.num_points is not None:
-        train_pts["num_points"] = args.num_points
+    if num_points is not None:
+        train_pts["num_points"] = num_points
     loss_cfg = build_loss_cfg(head_cfg, train_pts)
+    return model, batch, loss_cfg, cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?",
+                   default="occformer_tpu/configs/occformer_nusc_r50_256x704.py")
+    p.add_argument("--num-points", type=int, default=None,
+                   help="override the config's train_cfg.pts.num_points")
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--max-lidar", type=int, default=35000)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--accum-steps", type=int, default=1)
+    p.add_argument("--no-donate", action="store_true",
+                   help="disable input-state donation (debug)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from occformer_tpu.engine.optim import build_optimizer, step_lr_schedule
+    from occformer_tpu.engine.train import TrainState, build_train_step
+    from occformer_tpu.utils.compile_cache import enable_compile_cache
+    from occformer_tpu.utils.profiling import device_memory_stats
+
+    enable_compile_cache()
+    model, batch, loss_cfg, cfg = build_trial(
+        args.config, args.batch_size, args.max_lidar, args.num_points)
     lr = step_lr_schedule(1e-4, 28000, [20, 23])
 
     key = jax.random.PRNGKey(0)
@@ -147,9 +164,9 @@ def main():
     dt = (time.time() - t0) / args.steps
     out = {k: float(v) for k, v in metrics.items()}
     print(json.dumps({
-        "config": os.path.basename(cfg_path),
+        "config": os.path.basename(args.config),
         "num_points": loss_cfg.num_points,
-        "batch_size": B,
+        "batch_size": args.batch_size,
         "accum_steps": args.accum_steps,
         "sec_per_step": round(dt, 3),
         "total_loss": out["total_loss"],
