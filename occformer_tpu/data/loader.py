@@ -110,19 +110,32 @@ class ShardedLoader:
         self.epoch = epoch
 
     def __len__(self):
-        per_host = len(self.dataset) // self.num_hosts
         if self.drop_last:
+            per_host = len(self.dataset) // self.num_hosts
             return per_host // self.batch_size
+        per_host = len(self._indices())
         return -(-per_host // self.batch_size)
 
     def _indices(self) -> np.ndarray:
+        """This host's shard of the (epoch-seeded) sample order.
+
+        drop_last=True (training): equal floor-sized shards so every host
+        runs the same number of SPMD steps.  drop_last=False (evaluation):
+        ``np.array_split`` — every index lands on exactly one host, shard
+        sizes differ by at most 1, and the non-divisible tail is covered
+        without the reference's pad-with-duplicates trick
+        (datasets/samplers/distributed_sampler.py:9); exactness holds
+        because eval reduces raw counters, not per-host averages.
+        """
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
-        per_host = n // self.num_hosts
-        return order[self.host_id * per_host : (self.host_id + 1) * per_host]
+        if self.drop_last:
+            per_host = n // self.num_hosts
+            return order[self.host_id * per_host : (self.host_id + 1) * per_host]
+        return np.array_split(order, self.num_hosts)[self.host_id]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idxs = self._indices()
@@ -151,10 +164,17 @@ class ShardedLoader:
 
 
 def build_dataloader(dataset, samples_per_gpu=1, shuffle=True, seed=0,
-                     num_hosts=1, host_id=0, max_points=35000, **kwargs):
+                     num_hosts=1, host_id=0, max_points=35000,
+                     drop_last=None, **kwargs):
+    """``drop_last`` defaults to ``shuffle``: training (shuffled) needs
+    equal per-host step counts for SPMD; evaluation (ordered) must cover
+    every sample exactly once, tail included."""
+    if drop_last is None:
+        drop_last = shuffle
     return ShardedLoader(
         dataset, batch_size=samples_per_gpu, shuffle=shuffle, seed=seed,
         num_hosts=num_hosts, host_id=host_id, max_points=max_points,
+        drop_last=drop_last,
     )
 
 

@@ -83,6 +83,47 @@ def build_eval_step(model, occ_size: Tuple[int, int, int],
     return jax.jit(eval_step)
 
 
+def metrics_from_state(
+    state: Dict[str, np.ndarray],
+    num_classes: int,
+    class_names=None,
+) -> Dict[str, Any]:
+    """Derive the metric table from (already cross-host-reduced) counters.
+
+    ``state`` keys: ``confusion`` (lidarseg CM), ``ssc_*`` (SSCMetrics
+    counters, present iff SSC was computed), ``pan_*`` (PanopticEval
+    counters, present iff panoptic).  All entries are sums, so summing the
+    per-host states before calling this is exactly equivalent to a
+    single-host pass over the full split."""
+    results: Dict[str, Any] = {}
+    cm = np.asarray(state["confusion"])
+    if cm.sum() > 0:
+        fg = cm[1:, 1:]  # crop the empty/noise row+col (fast_hist_crop)
+        ious = cm_to_ious(fg)
+        names = class_names or [str(i) for i in range(num_classes)]
+        for i, iou in enumerate(ious):
+            results[f"nuScenes_lidarseg_{names[i + 1]}"] = float(iou)
+        results["nuScenes_lidarseg_mean"] = float(np.nanmean(ious))
+    if "ssc_tps" in state:
+        ssc = SSCMetrics(num_classes)
+        ssc.set_state(state)
+        m = ssc.compute()
+        results["semkitti_SC_IoU"] = float(m["sc_iou"])
+        results["semkitti_SSC_mIoU"] = float(m["ssc_miou"])
+        results["SSC_precision"] = float(m["precision"])
+        results["SSC_recall"] = float(m["recall"])
+    if "pan_tp" in state:
+        from ..utils.panoptic import PanopticEval
+
+        pan = PanopticEval(num_classes, ignore=[0], min_points=15)
+        pan.set_state(state)
+        pq, sq, rq, _, _, _ = pan.get_pq()
+        results["nuScenes_panoptic_PQ"] = float(pq)
+        results["nuScenes_panoptic_SQ"] = float(sq)
+        results["nuScenes_panoptic_RQ"] = float(rq)
+    return results
+
+
 def evaluate(
     model,
     variables,
@@ -95,6 +136,7 @@ def evaluate(
     save_cb=None,
     panoptic: bool = False,
     thing_indices=None,
+    all_reduce: Optional[Callable] = None,
 ) -> Dict[str, Any]:
     """Full-split evaluation: lidarseg IoU table and/or SSC metrics; with
     ``panoptic``, point-level PQ/SQ/RQ accumulated over the split
@@ -102,7 +144,19 @@ def evaluate(
     mask2former_nusc_panoptic_occ.py:148).
 
     ``save_cb(out, meta_list, batch)`` runs per batch on host — used by the
-    submission writers (reference apis/test.py:161-167)."""
+    submission writers (reference apis/test.py:161-167).
+
+    ``all_reduce`` sums the counter state across processes before metrics
+    are derived (default: :func:`parallel.mesh.host_allreduce_sum`, a no-op
+    on one host) — the analogue of the reference's
+    ``dist.all_reduce(evaluation_semantic)`` (apis/test.py:209).  Because
+    only raw counters cross the boundary, unevenly-sized host shards (the
+    non-divisible val-split tail) are handled exactly, with no padding or
+    duplicate samples."""
+    if all_reduce is None:
+        from ..parallel.mesh import host_allreduce_sum
+
+        all_reduce = host_allreduce_sum
     step = build_eval_step(model, occ_size, num_classes, panoptic=panoptic)
     cm = np.zeros((num_classes, num_classes), np.int64)
     ssc = SSCMetrics(num_classes) if compute_ssc else None
@@ -113,6 +167,7 @@ def evaluate(
         pan_eval = PanopticEval(num_classes, ignore=[0], min_points=15)
 
     for batch in loader:
+        batch = dict(batch)  # host-only keys popped locally, caller's dict untouched
         gt_occ = batch.pop("gt_occ", None)
         meta = batch.pop("_meta", None)
         out = step(variables, batch)
@@ -136,26 +191,13 @@ def evaluate(
                     sem_pred[valid], pan_pred[valid],
                     (pan_gt // 1000)[valid], pan_gt[valid])
 
-    results: Dict[str, Any] = {}
-    if cm.sum() > 0:
-        fg = cm[1:, 1:]  # crop the empty/noise row+col (fast_hist_crop)
-        ious = cm_to_ious(fg)
-        names = class_names or [str(i) for i in range(num_classes)]
-        for i, iou in enumerate(ious):
-            results[f"nuScenes_lidarseg_{names[i + 1]}"] = float(iou)
-        results["nuScenes_lidarseg_mean"] = float(np.nanmean(ious))
+    state: Dict[str, np.ndarray] = {"confusion": cm}
     if ssc is not None:
-        m = ssc.compute()
-        results["semkitti_SC_IoU"] = float(m["sc_iou"])
-        results["semkitti_SSC_mIoU"] = float(m["ssc_miou"])
-        results["SSC_precision"] = float(m["precision"])
-        results["SSC_recall"] = float(m["recall"])
+        state.update(ssc.state())
     if pan_eval is not None:
-        pq, sq, rq, _, _, _ = pan_eval.get_pq()
-        results["nuScenes_panoptic_PQ"] = float(pq)
-        results["nuScenes_panoptic_SQ"] = float(sq)
-        results["nuScenes_panoptic_RQ"] = float(rq)
-    return results
+        state.update(pan_eval.state())
+    state = all_reduce(state)
+    return metrics_from_state(state, num_classes, class_names=class_names)
 
 
 def format_iou_table(results: Dict[str, float]) -> str:

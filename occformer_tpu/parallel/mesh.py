@@ -67,3 +67,26 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[s
     """Device-put every batch array sharded on its leading (batch) axis."""
     sh = batch_sharding(mesh, axis)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def host_allreduce_sum(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Sum a dict of host-local numpy arrays across all JAX processes.
+
+    The multi-host analogue of the reference's
+    ``dist.all_reduce(evaluation_semantic)`` (apis/test.py:209): each host
+    accumulates metric counters over its val-split shard, then the counters
+    are summed across processes before metrics are derived.  Identity on a
+    single host.  Uses ``multihost_utils.process_allgather`` (stacks a
+    process axis, then sums it) so it works on any mesh layout without the
+    caller wiring collectives.
+    """
+    if jax.process_count() == 1:
+        return state
+    from jax.experimental import multihost_utils
+
+    out = {}
+    for k in sorted(state):  # deterministic order across hosts
+        v = np.asarray(state[k])
+        gathered = multihost_utils.process_allgather(v)
+        out[k] = np.asarray(gathered).sum(axis=0).astype(v.dtype)
+    return out

@@ -95,6 +95,21 @@ class SSCMetrics:
             self.fps[c] += int(np.sum((p == c) & (t != c)))
             self.fns[c] += int(np.sum((p != c) & (t == c)))
 
+    def state(self) -> Dict[str, np.ndarray]:
+        """Counters as summable arrays (cross-host reduction boundary)."""
+        return {
+            "ssc_tps": self.tps.copy(),
+            "ssc_fps": self.fps.copy(),
+            "ssc_fns": self.fns.copy(),
+            "ssc_sc": np.array([self.sc_tp, self.sc_fp, self.sc_fn], np.int64),
+        }
+
+    def set_state(self, s: Dict[str, np.ndarray]):
+        self.tps = np.asarray(s["ssc_tps"], np.int64)
+        self.fps = np.asarray(s["ssc_fps"], np.int64)
+        self.fns = np.asarray(s["ssc_fns"], np.int64)
+        self.sc_tp, self.sc_fp, self.sc_fn = (int(x) for x in s["ssc_sc"])
+
     def merge(self, other: "SSCMetrics"):
         self.tps += other.tps
         self.fps += other.fps

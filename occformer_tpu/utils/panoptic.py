@@ -30,6 +30,22 @@ class PanopticEval:
         self.pan_fn = np.zeros(self.n_classes, np.int64)
         self.pan_iou = np.zeros(self.n_classes, np.float64)
 
+    def state(self) -> Dict[str, np.ndarray]:
+        """Counters as summable arrays (cross-host reduction boundary).
+        All four are per-class sums, so summing across hosts is exact."""
+        return {
+            "pan_tp": self.pan_tp.copy(),
+            "pan_fp": self.pan_fp.copy(),
+            "pan_fn": self.pan_fn.copy(),
+            "pan_iou": self.pan_iou.copy(),
+        }
+
+    def set_state(self, s: Dict[str, np.ndarray]):
+        self.pan_tp = np.asarray(s["pan_tp"], np.int64)
+        self.pan_fp = np.asarray(s["pan_fp"], np.int64)
+        self.pan_fn = np.asarray(s["pan_fn"], np.int64)
+        self.pan_iou = np.asarray(s["pan_iou"], np.float64)
+
     def add_batch(self, sem_pred, pan_pred, sem_gt, pan_gt):
         """All inputs flat int arrays of equal length."""
         sem_pred = np.asarray(sem_pred, np.int64).reshape(-1)
