@@ -16,14 +16,17 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 
-def pad_points(points: np.ndarray, max_points: int):
+def pad_points(points: np.ndarray, max_points: int,
+               rng: Optional[np.random.RandomState] = None):
     """[P, D] -> ([max_points, D], [max_points] valid).  Overflow is dropped
-    uniformly at random (never biased to the scan order)."""
+    uniformly at random (never biased to the scan order).  ``rng`` makes the
+    subsampling reproducible (the reference seeds workers via worker_init_fn,
+    datasets/builder.py:96-101); None falls back to the global stream."""
     P = points.shape[0]
     out = np.zeros((max_points, points.shape[1]), np.float32)
     valid = np.zeros((max_points,), bool)
     if P > max_points:
-        sel = np.random.choice(P, max_points, replace=False)
+        sel = (rng or np.random).choice(P, max_points, replace=False)
         out[:] = points[sel]
         valid[:] = True
     else:
@@ -36,6 +39,7 @@ def collate_batch(
     samples: List[Dict],
     max_points: int = 35000,
     pc_range: Optional[Sequence[float]] = None,
+    rng: Optional[np.random.RandomState] = None,
 ) -> Dict[str, np.ndarray]:
     """Stack per-sample pipeline outputs into the train-step batch dict."""
     batch: Dict[str, Any] = {}
@@ -61,7 +65,7 @@ def collate_batch(
         )
         for s in samples:
             pts = s["points_occ"]
-            padded, valid = pad_points(pts, max_points)
+            padded, valid = pad_points(pts, max_points, rng=rng)
             # normalize xyz to [0, 1] over the point-cloud range, the form the
             # loss consumes (mask2former_nusc_occ.py:233-236)
             xyz = (padded[:, :3] - pcr[:3]) / (pcr[3:] - pcr[:3])
@@ -101,8 +105,16 @@ class ShardedLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.collate_fn = collate_fn or (
-            lambda s: collate_batch(s, max_points=self.max_points)
+            lambda s, rng=None: collate_batch(s, max_points=self.max_points,
+                                              rng=rng)
         )
+        import inspect
+
+        try:
+            self._collate_takes_rng = (
+                len(inspect.signature(self.collate_fn).parameters) >= 2)
+        except (TypeError, ValueError):
+            self._collate_takes_rng = False
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -150,7 +162,17 @@ class ShardedLoader:
                     if len(chunk) == 0:
                         break
                     samples = [self.dataset[int(i)] for i in chunk]
-                    q.put(self.collate_fn(samples))
+                    # sample-addressed RNG (seed, epoch, first dataset index):
+                    # collation randomness (point subsampling) is reproducible
+                    # across runs and independent of host count / step order
+                    rng = np.random.RandomState(
+                        (self.seed * 1000003 + self.epoch * 8191
+                         + int(chunk[0])) % (2 ** 31 - 1))
+                    if self._collate_takes_rng:
+                        batch = self.collate_fn(samples, rng)
+                    else:  # custom 1-arg collate_fn
+                        batch = self.collate_fn(samples)
+                    q.put(batch)
             finally:
                 q.put(stop)
 

@@ -212,8 +212,12 @@ def _loss_single_sample(
     cls_num = jnp.sum(-jax.nn.log_softmax(cls_score.astype(jnp.float32), -1)[
         jnp.arange(Q), labels] * class_weight[labels])
 
-    # per-gt weights: class weight of the matched class, 0 if invalid
-    gt_w = jnp.where(gt_valid, class_weight[gt_labels], 0.0)
+    # per-gt weights: class weight of the matched class, 0 if invalid.
+    # Slots the auction left UNASSIGNED at max_iters (assign_q == -1 while
+    # gt_valid) also get 0 — the clip-to-query-0 gather below is then inert,
+    # never a full-weight supervision of an arbitrary query (scipy always
+    # assigns; an unconverged auction must not silently mis-assign).
+    gt_w = jnp.where(gt_valid & (assign_q >= 0), class_weight[gt_labels], 0.0)
 
     # ---- 3. supervision points (no grad, reference torch.no_grad) -------
     num_sampled = int(cfg.num_points * cfg.oversample_ratio)
@@ -467,4 +471,9 @@ def mask2former_loss(
         losses[prefix + "loss_cls"] = stacked[l, 0]
         losses[prefix + "loss_mask"] = stacked[l, 1]
         losses[prefix + "loss_dice"] = stacked[l, 2]
+    # metric only (no 'loss' in the key -> excluded from the total): valid GT
+    # slots the auction failed to assign within max_iters, over all layers.
+    # Nonzero values mean those slots went unsupervised this step.
+    losses["unassigned_gt"] = jnp.sum(
+        ((assigns < 0) & gt_valid[None]).astype(jnp.float32))
     return losses

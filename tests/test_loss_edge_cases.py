@@ -115,3 +115,89 @@ def test_gt_chunks_bit_transparent(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+# ---- auction safety net (VERDICT r1 weak #6) -------------------------------
+
+def test_auction_cap_leaves_unassigned_never_misassigns(rng):
+    """Adversarial all-ties cost with a tiny iteration cap: slots the auction
+    cannot finish must stay -1 (scipy always assigns; an unconverged auction
+    must not silently assign), and the partial assignment must still be a
+    valid partial matching (no query owned twice)."""
+    from occformer_tpu.losses.matching import auction_match
+
+    Q = G = 8
+    cost = jnp.zeros((Q, G), jnp.float32)  # every pairing tied -> max churn
+    valid = jnp.ones((G,), bool)
+    assign = np.asarray(auction_match(cost, valid, max_iters=3))
+    assert (assign == -1).sum() >= G - 3  # at most one slot assigned per iter
+    got = assign[assign >= 0]
+    assert got.size == np.unique(got).size  # no duplicate ownership
+    assert ((got >= 0) & (got < Q)).all()
+
+
+def test_auction_adversarial_ties_full_convergence(rng):
+    """Same all-ties matrix with the default cap converges to a complete,
+    scipy-cost-optimal assignment (any permutation is optimal here)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from occformer_tpu.losses.matching import auction_match
+
+    Q, G = 12, 8
+    c = rng.rand(Q, G).astype(np.float32)
+    c[:, :4] = 0.5  # tie block
+    valid = jnp.ones((G,), bool)
+    assign = np.asarray(auction_match(jnp.asarray(c), valid))
+    assert (assign >= 0).all()
+    assert np.unique(assign).size == G
+    rows, cols = linear_sum_assignment(c.T)  # [G] -> row=slot, col=query
+    assert abs(c.T[np.arange(G), assign].sum() - c.T[rows, cols].sum()) < 1e-2
+
+
+def test_unassigned_valid_slots_carry_zero_weight(rng):
+    """A valid GT slot with assign_q == -1 (auction cap hit) contributes
+    NOTHING to mask/dice losses — previously it supervised query 0 at full
+    weight through the clip(assign, 0, Q-1) gather."""
+    from occformer_tpu.losses.mask2former_loss import _loss_single_sample
+
+    cfg = _cfg(use_lidar=False)
+    Q, G, vol = 6, 4, (8, 8, 4)
+    r = np.random.RandomState(0)
+    cls_score = jnp.asarray(r.randn(Q, cfg.num_classes + 1).astype(np.float32))
+    mask_pred = jnp.asarray(r.randn(Q, *vol).astype(np.float32))
+    gt_masks = jnp.asarray(r.rand(G, *vol) > 0.5)
+    gt_labels = jnp.arange(G, dtype=jnp.int32)
+    gt_valid = jnp.ones((G,), bool)
+    assign_q = jnp.full((G,), -1, jnp.int32)  # cap hit on every slot
+    parts = _loss_single_sample(
+        jax.random.PRNGKey(0), cls_score, mask_pred, gt_masks, gt_labels,
+        gt_valid, assign_q, None, None, jnp.ones((cfg.num_classes,)), cfg)
+    assert float(parts["mask_num"]) == 0.0
+    assert float(parts["mask_avg"]) == 0.0
+    assert float(parts["dice_num"]) == 0.0
+    assert float(parts["dice_avg"]) == 0.0
+    # classification: unassigned slots fall back to background targets
+    assert np.isfinite(float(parts["cls_num"]))
+
+    # a mixed case: slot 0 assigned, slots 1-3 unassigned -> weights only
+    # from slot 0
+    assign_q = assign_q.at[0].set(2)
+    parts = _loss_single_sample(
+        jax.random.PRNGKey(0), cls_score, mask_pred, gt_masks, gt_labels,
+        gt_valid, assign_q, None, None, jnp.ones((cfg.num_classes,)), cfg)
+    assert float(parts["dice_avg"]) == 1.0  # class_weight[0] == 1.0, one slot
+
+
+def test_unassigned_gt_metric_exported(rng):
+    """mask2former_loss exports an 'unassigned_gt' count (0 when the auction
+    converges) and the key is excluded from the summed total ('loss' not in
+    key, mmcv _parse_losses semantics)."""
+    cfg = _cfg()
+    cls, emb, feat = _outputs(rng)
+    gt = jnp.asarray(rng.randint(0, 4, (1, 16, 16, 8)).astype(np.int32))
+    lidar = jnp.asarray(rng.rand(1, 32, 3).astype(np.float32))
+    valid = jnp.ones((1, 32), bool)
+    losses = mask2former_loss(jax.random.PRNGKey(0), cls, emb, feat, gt, cfg,
+                              lidar_xyz=lidar, lidar_valid=valid)
+    assert "unassigned_gt" in losses
+    assert float(losses["unassigned_gt"]) == 0.0
