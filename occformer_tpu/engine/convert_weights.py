@@ -405,7 +405,9 @@ def match_to_tree(converted: Dict, target: Dict, path="") -> Tuple[Dict, list]:
                     )
                     out[k] = tgt_v
                 else:
-                    out[k] = v.astype(np.asarray(tgt_v).dtype)
+                    # tgt_v may be a concrete array or a jax.ShapeDtypeStruct
+                    # (key-manifest tests build the target via eval_shape)
+                    out[k] = v.astype(np.dtype(tgt_v.dtype))
         return out
 
     return walk(converted, target, path), msgs

@@ -176,6 +176,12 @@ class OccupancyFormer(nn.Module):
     test_cfg: Any = None
     train: bool = False
     dtype: Any = jnp.float32
+    # Opt-in replication of the reference's fp32 islands: @force_fp32 pins
+    # the 3D encoder/neck (occupancyformer.py:37) and the view transformer's
+    # splat + depth ops (ViewTransformerLSSVoxel.py:53,67) to fp32 even under
+    # fp16.  Default False keeps bf16 through those stages (the TPU-native
+    # choice); tests/test_fp32_islands.py bounds the numeric delta.
+    force_fp32_islands: bool = False
     # Optional mesh axis name for spatially sharding the voxel volume (its X
     # axis) across chips — the SP/TP-style extension SURVEY.md §5 sketches
     # for grids that outgrow one chip's HBM.  GSPMD inserts the halo
@@ -183,16 +189,18 @@ class OccupancyFormer(nn.Module):
     spatial_shard_axis: Any = None
 
     def setup(self):
-        def build(cfg):
-            cls, kwargs = translate_cfg(cfg, self.train, self.dtype)
-            return cls(train=self.train, dtype=self.dtype, **kwargs)
+        island = jnp.float32 if self.force_fp32_islands else self.dtype
 
-        self.backbone = build(self.img_backbone)
-        self.neck = build(self.img_neck)
-        self.view_transformer = build(self.img_view_transformer)
-        self.bev_backbone = build(self.img_bev_encoder_backbone)
-        cls, kwargs = translate_cfg(self.img_bev_encoder_neck, self.train, self.dtype)
-        self.bev_neck = cls(dtype=self.dtype, **kwargs)
+        def build(cfg, dtype):
+            cls, kwargs = translate_cfg(cfg, self.train, dtype)
+            return cls(train=self.train, dtype=dtype, **kwargs)
+
+        self.backbone = build(self.img_backbone, self.dtype)
+        self.neck = build(self.img_neck, self.dtype)
+        self.view_transformer = build(self.img_view_transformer, island)
+        self.bev_backbone = build(self.img_bev_encoder_backbone, island)
+        cls, kwargs = translate_cfg(self.img_bev_encoder_neck, self.train, island)
+        self.bev_neck = cls(dtype=island, **kwargs)
         cls, kwargs = translate_cfg(self.pts_bbox_head, self.train, self.dtype)
         self.head = cls(dtype=self.dtype, **kwargs)
 
@@ -220,9 +228,11 @@ class OccupancyFormer(nn.Module):
             x, batch["rots"], batch["trans"], batch["intrins"],
             batch["post_rots"], batch["post_trans"], batch["bda"],
         )
-        # the reference forces the 3D encoder to fp32 (@force_fp32 :37);
-        # we keep the compute dtype and rely on fp32 islands in losses.
-        scales = self.bev_backbone(self._shard_volume(volume.astype(self.dtype)))
+        # the reference forces the 3D encoder to fp32 (@force_fp32 :37); by
+        # default we keep the compute dtype and rely on fp32 islands in the
+        # losses, with `force_fp32_islands` restoring reference semantics
+        scales = self.bev_backbone(
+            self._shard_volume(volume.astype(self.bev_backbone.dtype)))
         voxel_feats = self.bev_neck([self._shard_volume(s) for s in scales])
         return voxel_feats, depth_prob
 
@@ -272,6 +282,6 @@ class OccupancyFormer4D(OccupancyFormer):
         vol_cur, depth_cur = frame(0, stop_grad=False)
         vol_prev, _ = frame(1, stop_grad=True)
         volume = jnp.concatenate([vol_cur, vol_prev], axis=-1)
-        scales = self.bev_backbone(volume.astype(self.dtype))
+        scales = self.bev_backbone(volume.astype(self.bev_backbone.dtype))
         voxel_feats = self.bev_neck(scales)
         return voxel_feats, depth_cur

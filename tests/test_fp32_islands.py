@@ -1,0 +1,101 @@
+"""Bound the bf16 deviation of the 3D trunk vs the reference's fp32 islands.
+
+The reference pins `bev_encoder` and the view transformer to fp32 under fp16
+(@force_fp32, occupancyformer.py:37, ViewTransformerLSSVoxel.py:53,67).  Our
+default keeps bf16 through those stages (models/detector.py); the opt-in
+``force_fp32_islands`` model flag restores reference semantics.  This test
+runs the same weights + batch through
+
+  * full fp32 (reference numerics ground truth),
+  * the shipped bf16 path,
+  * bf16 with ``force_fp32_islands=True``,
+
+and (1) proves the flag actually switches the trunk's compute dtype,
+(2) asserts the islands path deviates from fp32 no more than plain bf16 does,
+and (3) records + bounds the voxel-score delta and argmax agreement of the
+shipped path so a material regression in the bf16 deviation fails loudly.
+"""
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tiny_cfg
+from occformer_tpu.engine.eval import format_results, mask_logits_from_embeds
+from occformer_tpu.models.detector import OccupancyFormer
+
+COMPONENTS = ("img_backbone", "img_neck", "img_view_transformer",
+              "img_bev_encoder_backbone", "img_bev_encoder_neck",
+              "pts_bbox_head")
+
+
+def _build(dtype, islands=False):
+    cfg = tiny_cfg.model_cfg()
+    return OccupancyFormer(**{k: cfg[k] for k in COMPONENTS}, train=False,
+                           dtype=dtype, force_fp32_islands=islands)
+
+
+def _voxel_scores(model, variables, batch):
+    out = model.apply(variables, batch)
+    mask = mask_logits_from_embeds(out["mask_embeds"][-1].astype(jnp.float32),
+                                   out["mask_feature"].astype(jnp.float32))
+    scores = format_results(out["cls_preds"][-1].astype(jnp.float32), mask)
+    return np.asarray(scores, np.float64), out
+
+
+def test_fp32_island_flag_and_bf16_bound():
+    batch = tiny_cfg.make_batch(np.random.RandomState(0))
+    m32 = _build(jnp.float32)
+    variables = m32.init(jax.random.PRNGKey(0), batch)
+
+    s32, _ = _voxel_scores(m32, variables, batch)
+    sbf, out_bf = _voxel_scores(_build(jnp.bfloat16), variables, batch)
+    sis, out_is = _voxel_scores(_build(jnp.bfloat16, islands=True),
+                                variables, batch)
+
+    # (1) the flag switches the trunk's compute dtype (mask_feature is the
+    # bev_neck output; the image backbone stays bf16 in both)
+    assert out_bf["mask_feature"].dtype == jnp.bfloat16
+    assert out_is["mask_feature"].dtype == jnp.float32
+
+    spread = float(s32.max() - s32.min()) or 1.0
+
+    def stats(s):
+        return {
+            "mean_abs": float(np.mean(np.abs(s - s32))) / spread,
+            "max_abs": float(np.max(np.abs(s - s32))) / spread,
+            "argmax_agree": float(
+                np.mean(s.argmax(-1) == s32.argmax(-1))),
+        }
+
+    st_bf, st_is = stats(sbf), stats(sis)
+    print("bf16 vs fp32:", json.dumps(st_bf))
+    print("islands vs fp32:", json.dumps(st_is))
+
+    # (2) fp32 islands must not deviate more than the all-bf16 path
+    assert st_is["mean_abs"] <= st_bf["mean_abs"] * 1.05
+    assert st_is["argmax_agree"] >= st_bf["argmax_agree"] - 0.01
+
+    # (3) documented bound for the shipped bf16 path (tiny random-init model,
+    # the weakest case for argmax stability: scores are near-ties).  A
+    # material numerics regression (e.g. an accidental fp16 cast or a lost
+    # fp32 loss island) blows well past these.
+    assert st_bf["mean_abs"] < 0.02, st_bf
+    assert st_bf["argmax_agree"] > 0.85, st_bf
+
+
+@pytest.mark.parametrize("islands", [False, True])
+def test_param_tree_independent_of_islands_flag(islands):
+    """Checkpoints swap freely between the two modes."""
+    batch = tiny_cfg.make_batch(np.random.RandomState(0))
+    ref = jax.eval_shape(
+        lambda b: _build(jnp.float32).init(jax.random.PRNGKey(0), b), batch)
+    got = jax.eval_shape(
+        lambda b: _build(jnp.bfloat16, islands).init(jax.random.PRNGKey(0), b),
+        batch)
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(got)
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
+        assert a.shape == b.shape and a.dtype == b.dtype

@@ -35,7 +35,7 @@ class TorchPixelDecoder(tnn.Module):
     """multiscale_deformattn_3d.py:60-120 naming (state-dict only)."""
 
     def __init__(self, in_channels, feat, n_enc=3, n_layers=2, heads=4,
-                 points=2, groups=tiny_cfg.NUM_GROUPS):
+                 points=2, groups=tiny_cfg.NUM_GROUPS, ffn_ratio=2):
         super().__init__()
         n_in = len(in_channels)
         self.input_convs = tnn.ModuleList()
@@ -53,8 +53,8 @@ class TorchPixelDecoder(tnn.Module):
             lay.norms = tnn.ModuleList([tnn.LayerNorm(feat) for _ in range(2)])
             ffn = tnn.Module()
             ffn.layers = tnn.Sequential(
-                tnn.Sequential(tnn.Linear(feat, feat * 2)),
-                tnn.Linear(feat * 2, feat))
+                tnn.Sequential(tnn.Linear(feat, feat * ffn_ratio)),
+                tnn.Linear(feat * ffn_ratio, feat))
             lay.ffns = tnn.ModuleList([ffn])
             layers.append(lay)
         self.encoder.layers = tnn.ModuleList(layers)

@@ -40,7 +40,7 @@ SHAPES = [(8, 8, 4), (4, 4, 2), (2, 2, 1)]  # fine -> coarse
 class TorchLayer(_BaseLayer):
     """Same bricks, sized per ctor (default C=30, FFC=2C)."""
 
-    def __init__(self, c=C, nh=NH):
+    def __init__(self, c=C, nh=NH, ffn_ratio=2):
         tnn.Module.__init__(self)
         self.attentions = tnn.ModuleList()
         for _ in range(2):
@@ -50,12 +50,14 @@ class TorchLayer(_BaseLayer):
         self.norms = tnn.ModuleList([tnn.LayerNorm(c) for _ in range(3)])
         ffn = tnn.Module()
         ffn.layers = tnn.Sequential(
-            tnn.Sequential(tnn.Linear(c, 2 * c)), tnn.Linear(2 * c, c))
+            tnn.Sequential(tnn.Linear(c, ffn_ratio * c)),
+            tnn.Linear(ffn_ratio * c, c))
         self.ffns = tnn.ModuleList([ffn])
 
 
 class TorchHead(tnn.Module):
-    def __init__(self, c=C, nq=NQ, nh=NH, nlayers=NLAYERS, ncls=NCLS):
+    def __init__(self, c=C, nq=NQ, nh=NH, nlayers=NLAYERS, ncls=NCLS,
+                 ffn_ratio=2):
         super().__init__()
         self.query_embed = tnn.Embedding(nq, c)
         self.query_feat = tnn.Embedding(nq, c)
@@ -67,7 +69,7 @@ class TorchHead(tnn.Module):
         self.transformer_decoder = tnn.Module()
         self.transformer_decoder.post_norm = tnn.LayerNorm(c)
         self.transformer_decoder.layers = tnn.ModuleList(
-            [TorchLayer(c, nh) for _ in range(nlayers)])
+            [TorchLayer(c, nh, ffn_ratio) for _ in range(nlayers)])
 
     def forward_head(self, q, mask_feature, target_size):
         d = self.transformer_decoder.post_norm(q).transpose(0, 1)

@@ -84,6 +84,7 @@ def main():
         img_bev_encoder_backbone=dict(m["img_bev_encoder_backbone"]),
         img_bev_encoder_neck=dict(m["img_bev_encoder_neck"]),
         pts_bbox_head=dict(m["pts_bbox_head"]),
+        force_fp32_islands=bool(m.get("force_fp32_islands", False)),
         train=True,
         dtype=dtype,
     )
