@@ -82,6 +82,10 @@ def build_loss_cfg(head_cfg: Dict, train_cfg: Dict) -> MaskLossConfig:
             "gt_chunks",
             2 if head_cfg.get("type") == "Mask2FormerNuscPanopticOccHead"
             else 1)),
+        # optional matching-point cap (detached cost only; see
+        # MaskLossConfig.match_num_points) — safe-mode lever for the axon
+        # panoptic exec-2 instability at [G~100, P~50k]
+        match_num_points=train_cfg.get("match_num_points"),
     )
 
 

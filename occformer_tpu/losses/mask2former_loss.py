@@ -71,6 +71,14 @@ class MaskLossConfig:
     # [G, num_points*oversample] sampling temps and the [G, X*Y*Z] pos-mask
     # scatter in backward scale with G).  1 = off.
     gt_chunks: int = 1
+    # Cap the MATCHING point count separately from the supervision count
+    # (None = num_points, the reference semantics: both use the same
+    # num_points).  The matching half is detached — fewer points only makes
+    # the [Q, G] cost estimate noisier, never biases the losses — so this is
+    # a safe-mode / bisect lever for the axon backend's panoptic exec-2
+    # failure (NOTES.md: the [G~100, P~50k] matching block is one of the two
+    # suspects; supervision chunking via gt_chunks is the other).
+    match_num_points: Optional[int] = None
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
@@ -122,16 +130,17 @@ def _resolve_sample_weights(rng, cfg: MaskLossConfig) -> Optional[jnp.ndarray]:
 
 
 def _matching_points_nusc(rng, lidar_xyz, lidar_valid, cfg: MaskLossConfig):
-    """num_points coords in [0,1]: half randomly-chosen LiDAR points, half
+    """match point coords in [0,1]: half randomly-chosen LiDAR points, half
     uniform (mask2former_nusc_occ.py:232-241)."""
-    k1 = cfg.num_points // 2
+    n_pts = cfg.match_num_points or cfg.num_points
+    k1 = n_pts // 2
     perm = gumbel_topk_sample(rng, lidar_valid.astype(jnp.float32), k1)
     chosen = lidar_xyz[perm]  # [k1, 3]
     chosen_valid = lidar_valid[perm]
     r1, r2 = jax.random.split(jax.random.fold_in(rng, 1))
     rand1 = jax.random.uniform(r1, (k1, 3), jnp.float32)
     pts = jnp.where(chosen_valid[:, None], chosen, rand1)
-    rand2 = jax.random.uniform(r2, (cfg.num_points - k1, 3), jnp.float32)
+    rand2 = jax.random.uniform(r2, (n_pts - k1, 3), jnp.float32)
     return jnp.concatenate([pts, rand2], axis=0)
 
 
@@ -165,7 +174,8 @@ def _match_single_sample(
         )[0].T  # [G, P] soft
     else:
         idx, coords = sample_with_frequencies(
-            r_match, gt_masks, gt_labels, gt_valid, sample_weights, cfg.num_points
+            r_match, gt_masks, gt_labels, gt_valid, sample_weights,
+            cfg.match_num_points or cfg.num_points,
         )
         mask_pts_pred = point_sample_3d(
             mask_pred.transpose(1, 2, 3, 0)[None], coords[None],

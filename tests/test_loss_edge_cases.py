@@ -201,3 +201,48 @@ def test_unassigned_gt_metric_exported(rng):
                               lidar_xyz=lidar, lidar_valid=valid)
     assert "unassigned_gt" in losses
     assert float(losses["unassigned_gt"]) == 0.0
+
+
+def test_match_num_points_only_changes_the_detached_cost(rng):
+    """With an unambiguous matching (each query's mask/class exactly one GT
+    slot), capping match_num_points leaves every loss bit-identical: the cap
+    only feeds the detached [Q, G] cost, and the supervision half draws its
+    rng from independent keys."""
+    import dataclasses
+
+    C = 4
+    cfg_full = _cfg(num_classes=C, use_lidar=True)          # num_points=16
+    cfg_cap = dataclasses.replace(cfg_full, match_num_points=6)
+
+    # one-hot mask feature: channel c is +/-10 on class-c voxels; query q's
+    # embed selects channel q -> query q's mask IS class q's gt mask
+    Q, cout = 6, C
+    gt = jnp.asarray(rng.randint(0, C, (1, 8, 8, 4)).astype(np.int32))
+    feat = (jax.nn.one_hot(gt, C) * 20.0 - 10.0)            # [1, X, Y, Z, C]
+    emb = jnp.concatenate([jnp.eye(C), jnp.zeros((Q - C, C))])[None][None]
+    emb = jnp.broadcast_to(emb, (2, 1, Q, cout)).astype(jnp.float32)
+    cls = jnp.concatenate(
+        [jnp.eye(C, C + 1) * 20.0,
+         jnp.tile(jnp.eye(1, C + 1, C) * 20.0, (Q - C, 1))])[None][None]
+    cls = jnp.broadcast_to(cls, (2, 1, Q, C + 1)).astype(jnp.float32)
+    lidar = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    valid = jnp.ones((1, 64), bool)
+
+    out = [mask2former_loss(jax.random.PRNGKey(5), cls, emb, feat, gt, cfg,
+                            lidar_xyz=lidar, lidar_valid=valid)
+           for cfg in (cfg_full, cfg_cap)]
+    assert float(out[0]["unassigned_gt"]) == 0.0
+    assert set(out[0]) == set(out[1])
+    for k in out[0]:
+        assert float(out[0][k]) == float(out[1][k]), k
+
+
+def test_match_num_points_kitti_path_finite(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(use_lidar=False), match_num_points=8)
+    cls, emb, feat = _outputs(rng)
+    gt = jnp.asarray(rng.randint(0, 4, (1, 8, 8, 4)).astype(np.int32))
+    losses = mask2former_loss(jax.random.PRNGKey(0), cls, emb, feat, gt, cfg)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k

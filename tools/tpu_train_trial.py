@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
-                num_points=None, seed: int = 0):
+                num_points=None, seed: int = 0, match_num_points=None,
+                gt_chunks=None):
     """(model, synthetic batch, loss_cfg, cfg) at a config's exact shapes.
 
     Shared by the train trial and tools/memory_analysis.py so both drive
@@ -45,6 +46,7 @@ def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
         img_bev_encoder_backbone=dict(m["img_bev_encoder_backbone"]),
         img_bev_encoder_neck=dict(m["img_bev_encoder_neck"]),
         pts_bbox_head=dict(m["pts_bbox_head"]),
+        force_fp32_islands=bool(m.get("force_fp32_islands", False)),
         train=True,
         dtype=jnp.bfloat16,
     )
@@ -69,11 +71,18 @@ def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
         cx, cy = W / 2, H / 2
 
     rng = np.random.RandomState(seed)
-    intrins = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    # KITTI feeds 3x4 projective intrinsics (P2, data/semantic_kitti.py) and a
+    # 4x4 BDA -> 33-dim camera embedding; nuScenes 3x3 + 3x3 -> 27-dim
+    # (models/depthnet.py:get_mlp_input, reference :591-646)
+    intrins = np.zeros((B, N, 3, 3 if is_nusc else 4), np.float32)
     intrins[..., 0, 0] = fx
     intrins[..., 1, 1] = fx
     intrins[..., 0, 2] = cx
     intrins[..., 1, 2] = cy
+    intrins[..., 2, 2] = 1.0
+    if not is_nusc:
+        intrins[..., 0, 3] = 2.0  # stereo-baseline column of P2
+    bda_dim = 3 if is_nusc else 4
     depth = rng.uniform(0, d_hi, (B, N, H, W)).astype(np.float32)
     depth[depth < (d_lo + 0.7 * (d_hi - d_lo))] = 0.0  # sparse LiDAR-like GT
     post_rots = np.tile(np.eye(3, dtype=np.float32) * post_scale, (B, N, 1, 1))
@@ -85,7 +94,7 @@ def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
         "intrins": intrins,
         "post_rots": post_rots,
         "post_trans": np.zeros((B, N, 3), np.float32),
-        "bda": np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)),
+        "bda": np.tile(np.eye(bda_dim, dtype=np.float32), (B, 1, 1)),
         "gt_occ": rng.randint(0, num_classes, (B, X, Y, Z)).astype(np.int32),
         "gt_depth": depth,
     }
@@ -107,6 +116,10 @@ def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
     train_pts = dict(m.get("train_cfg", {}).get("pts", {}))
     if num_points is not None:
         train_pts["num_points"] = num_points
+    if match_num_points is not None:
+        train_pts["match_num_points"] = match_num_points
+    if gt_chunks is not None:
+        head_cfg["gt_chunks"] = gt_chunks
     loss_cfg = build_loss_cfg(head_cfg, train_pts)
     return model, batch, loss_cfg, cfg
 
@@ -117,6 +130,12 @@ def main():
                    default="occformer_tpu/configs/occformer_nusc_r50_256x704.py")
     p.add_argument("--num-points", type=int, default=None,
                    help="override the config's train_cfg.pts.num_points")
+    p.add_argument("--match-num-points", type=int, default=None,
+                   help="cap the matching point count separately from the "
+                        "supervision count (MaskLossConfig.match_num_points)")
+    p.add_argument("--gt-chunks", type=int, default=None,
+                   help="override head gt_chunks (supervision-sampling "
+                        "chunking over GT slots)")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--max-lidar", type=int, default=35000)
     p.add_argument("--batch-size", type=int, default=1)
@@ -135,7 +154,8 @@ def main():
 
     enable_compile_cache()
     model, batch, loss_cfg, cfg = build_trial(
-        args.config, args.batch_size, args.max_lidar, args.num_points)
+        args.config, args.batch_size, args.max_lidar, args.num_points,
+        match_num_points=args.match_num_points, gt_chunks=args.gt_chunks)
     lr = step_lr_schedule(1e-4, 28000, [20, 23])
 
     key = jax.random.PRNGKey(0)
@@ -166,6 +186,8 @@ def main():
     print(json.dumps({
         "config": os.path.basename(args.config),
         "num_points": loss_cfg.num_points,
+        "match_num_points": loss_cfg.match_num_points,
+        "gt_chunks": loss_cfg.gt_chunks,
         "batch_size": args.batch_size,
         "accum_steps": args.accum_steps,
         "sec_per_step": round(dt, 3),
