@@ -6,6 +6,14 @@ host iterates its contiguous shard of an epoch-seeded permutation; samples
 are collated into fixed-capacity numpy buffers (LiDAR points padded to
 ``max_points`` with a validity mask) so the jitted train step never sees a
 dynamic shape.
+
+Conscious deviation: ``DistributedGroupSampler``'s aspect-ratio group flags
+(group_sampler.py:14-77, batches drawn within a ``flag`` group so mixed
+portrait/landscape images never share a batch) are dropped.  Every released
+OccFormer config feeds fixed-size inputs (ida_aug resizes to one
+``input_size``), so each dataset has exactly one group and grouped sampling
+degenerates to the plain shuffle implemented here; static-shape batching
+also makes mixed-shape batches impossible by construction.
 """
 from __future__ import annotations
 

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""One-command released-checkpoint parity check: convert -> eval -> compare.
+
+The moment the datasets and released ``.pth`` files exist on disk, this runs
+the full accuracy-parity claim (BASELINE.md north star) in one invocation:
+
+  python tools/run_parity.py occformer_tpu/configs/occformer_nusc_r50_256x704.py \
+      /path/to/occformer_nusc_r50_256x704.pth \
+      [--data-root /path/to/nuscenes] [--work-dir work_dirs/parity] \
+      [--max-samples 50] [--tolerance 0.5]
+
+Steps (see tools/parity_runbook.md for the full data-prep recipe):
+  1. ``tools/convert_checkpoint.py`` — torch state dict -> orbax variables,
+     hard-failing if any model leaf is left at init (a silent partial
+     conversion would produce silently-wrong accuracy);
+  2. ``tools/test.py`` — full val-split evaluation with the converted
+     variables;
+  3. compare the resulting headline metric against the reference's published
+     number for this config (README.md:47-49) and exit nonzero outside
+     ``--tolerance`` (absolute percentage points).
+
+``--max-samples`` turns this into a smoke run: steps 1-2 still execute end to
+end but the metric comparison is reported without enforcing (a split subset
+legitimately scores differently).
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
+
+# headline metric + reference val number (percent) per released config
+# (reference README.md:47-49; BASELINE.md)
+EXPECTED = {
+    "occformer_kitti": [("semkitti_SC_IoU", 36.42),
+                        ("semkitti_SSC_mIoU", 13.50)],
+    "occformer_nusc_r50_256x704": [("nuScenes_lidarseg_mean", 68.1)],
+    "occformer_nusc_r101_896x1600": [("nuScenes_lidarseg_mean", 70.0)],
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("pth", help="released torch checkpoint")
+    p.add_argument("--data-root", default=None,
+                   help="override the config's data_root")
+    p.add_argument("--work-dir", default="work_dirs/parity")
+    p.add_argument("--max-samples", type=int, default=None,
+                   help="smoke mode: evaluate only the first N samples and "
+                        "report (not enforce) the metric comparison")
+    p.add_argument("--tolerance", type=float, default=0.5,
+                   help="allowed absolute deviation in percentage points "
+                        "(reference KITTI val itself fluctuates 13.2-13.6, "
+                        "README.md:51)")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    args = p.parse_args()
+
+    cfg_name = os.path.splitext(os.path.basename(args.config))[0]
+    if cfg_name not in EXPECTED:
+        print(f"note: no published reference number for '{cfg_name}'; "
+              "will run convert+eval and report metrics without comparison")
+
+    ckpt_dir = os.path.join(args.work_dir, cfg_name, "converted")
+    overrides = list(args.cfg_options)
+    if args.data_root:
+        overrides += [f"data_root={args.data_root}",
+                      f"data.test.data_root={args.data_root}"]
+
+    # -- 1. convert ------------------------------------------------------
+    conv_cmd = [sys.executable, os.path.join(TOOLS, "convert_checkpoint.py"),
+                args.config, args.pth, ckpt_dir]
+    print("[parity] convert:", " ".join(conv_cmd), flush=True)
+    subprocess.run(conv_cmd, check=True, cwd=REPO)
+
+    # -- 2. evaluate -----------------------------------------------------
+    eval_cmd = [sys.executable, os.path.join(TOOLS, "test.py"), args.config,
+                "--checkpoint", ckpt_dir]
+    if args.max_samples:
+        eval_cmd += ["--max-samples", str(args.max_samples)]
+    if overrides:
+        eval_cmd += ["--cfg-options"] + overrides
+    print("[parity] eval:", " ".join(eval_cmd), flush=True)
+    out = subprocess.run(eval_cmd, check=True, cwd=REPO,
+                         stdout=subprocess.PIPE, text=True)
+    sys.stdout.write(out.stdout)
+    # tools/test.py prints the metric dict as its final JSON line
+    results = None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            results = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    if not isinstance(results, dict):
+        raise SystemExit("could not parse metrics JSON from tools/test.py")
+
+    # -- 3. compare ------------------------------------------------------
+    failures = []
+    for metric, expected_pct in EXPECTED.get(cfg_name, []):
+        if metric not in results:
+            failures.append(f"{metric}: missing from eval output")
+            continue
+        got_pct = results[metric] * 100.0
+        delta = got_pct - expected_pct
+        status = "OK" if abs(delta) <= args.tolerance else "FAIL"
+        print(f"[parity] {metric}: got {got_pct:.2f} vs reference "
+              f"{expected_pct:.2f} (delta {delta:+.2f}, tol "
+              f"{args.tolerance}) {status}")
+        if status == "FAIL":
+            failures.append(f"{metric}: {got_pct:.2f} vs {expected_pct:.2f}")
+
+    if args.max_samples:
+        print(f"[parity] smoke mode (--max-samples {args.max_samples}): "
+              "comparison is informational only")
+    elif failures:
+        raise SystemExit("[parity] FAILED:\n  " + "\n  ".join(failures))
+    else:
+        print("[parity] PASS")
+
+
+if __name__ == "__main__":
+    main()
