@@ -28,6 +28,21 @@ model = dict(
         stuff_indices=stuff_indices,
         thing_indices=thing_indices,
     ),
+    # Safe mode for a characterized backend kernel fault (NOTES.md panoptic
+    # bisect): differentiating the per-slot supervision sampling at
+    # [G~100 slots, 50176 points] reliably kills the device at its 2nd
+    # execution, independent of gt_chunks granularity; the same-size
+    # un-differentiated matching block is fine.  Measured frontier: stable
+    # at 37632 supervision points (0.028 s/step x4), fails at 43904.  So:
+    # matching keeps the reference's full 50176 points (bit-level recipe
+    # fidelity where it decides assignments), supervision samples 37632
+    # (75% of the reference density; still 3x-oversampled uncertainty
+    # sampling).  Restore num_points=50176 + drop match_num_points when the
+    # backend is fixed.
+    train_cfg=dict(pts=dict(
+        num_points=37632,
+        match_num_points=50176,
+    )),
 )
 
 # pipelines swap the semantic annotation loader for the panoptic one

@@ -7,6 +7,15 @@ idiomatic equivalent at these grid sizes is densify -> dense conv (MXU) ->
 re-sparsify, with submanifold masking enforced by construction.  Active
 sites live in fixed-capacity buffers (features [N, C] + integer coords +
 validity), so shapes stay static.
+
+Size envelope: the dense intermediate is [X, Y, Z, C] — fine for
+OccFormer-adjacent grids (<=256x256x32 x 128ch bf16 ~ 0.5 GiB) and the
+capability-parity tests, but NOT for SECOND-scale detection grids
+(41x1600x1408 x 16ch would be ~2.9 GiB *per layer* of intermediates at
+~0.1% occupancy, almost all of it multiplying zeros).  If such a workload
+ever lands here, the TPU-idiomatic path is gather-GEMM over indice pairs
+built at trace time per static rulebook (or a Pallas kernel), not this
+densify bridge.
 """
 from __future__ import annotations
 
