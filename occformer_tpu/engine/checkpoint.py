@@ -54,6 +54,22 @@ def load_checkpoint(path: str, target):
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
+def load_checkpoint_numpy(path: str):
+    """Restore a checkpoint as a host numpy tree, ignoring the device
+    shardings recorded at save time — works on any topology (or none), for
+    export/inspection tooling that never touches a device."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(os.path.abspath(path)).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta,
+        is_leaf=lambda x: not isinstance(x, dict))
+    return ckptr.restore(os.path.abspath(path), restore_args=restore_args)
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -411,3 +411,124 @@ def match_to_tree(converted: Dict, target: Dict, path="") -> Tuple[Dict, list]:
         return out
 
     return walk(converted, target, path), msgs
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: flax variables -> reference torch state dict.
+#
+# Every forward transform above is a pure element permutation (transposes,
+# spatial flips, slices of packed in_proj, channel-permutation tables) — no
+# arithmetic ever mixes values.  So instead of hand-writing ~400 lines of
+# inverse mapping rules (and keeping two converters in sync), the export
+# recovers the permutation NUMERICALLY: fill a probe state dict with unique
+# global element indices, run `convert_occformer` on it, and read off where
+# each torch element landed in the flax tree.  float64 probes hold exact
+# integers to 2^53, far beyond any checkpoint's element count.
+# ---------------------------------------------------------------------------
+
+
+def _walk_leaves(conv_node, tgt_node, path, out):
+    """Pair converted entries with target-tree leaves (same selection rule as
+    `match_to_tree`: target names pick among converted candidates)."""
+    for k, tgt_v in tgt_node.items():
+        if isinstance(tgt_v, dict):
+            sub = conv_node.get(k, {}) if isinstance(conv_node, dict) else {}
+            _walk_leaves(sub, tgt_v, path + "/" + k, out)
+        else:
+            v = conv_node.get(k) if isinstance(conv_node, dict) else None
+            if v is not None and tuple(v.shape) == tuple(
+                    np.shape(tgt_v) if not hasattr(tgt_v, "shape") else tgt_v.shape):
+                out[path + "/" + k] = v
+
+
+def build_export_permutation(manifest: Dict[str, Any], variables: Dict):
+    """For each flax leaf, the flat torch-buffer indices its elements came
+    from.  ``manifest`` maps torch key -> shape (the released-checkpoint key
+    space, see tests/fixtures/key_manifests); ``variables`` is the model tree
+    (concrete arrays or ShapeDtypeStructs).  Returns
+    (index_map {flax_path: int64 array}, offsets {torch_key: (start, shape)},
+    total_elements)."""
+    probe: Dict[str, np.ndarray] = {}
+    offsets: Dict[str, Tuple[int, Tuple[int, ...]]] = {}
+    total = 0
+    for k, shape in manifest.items():
+        shape = tuple(int(s) for s in shape)
+        n = int(np.prod(shape)) if shape else 1
+        probe[k] = np.arange(total, total + n, dtype=np.float64).reshape(shape)
+        offsets[k] = (total, shape)
+        total += n
+
+    conv = convert_occformer(probe)
+    leaves: Dict[str, np.ndarray] = {}
+    _walk_leaves(conv.get("params", {}), variables.get("params", {}),
+                 "params", leaves)
+    _walk_leaves(conv.get("batch_stats", {}), variables.get("batch_stats", {}),
+                 "batch_stats", leaves)
+    index_map = {p: np.rint(v).astype(np.int64) for p, v in leaves.items()}
+    return index_map, offsets, total
+
+
+def export_torch_state_dict(
+    variables: Dict,
+    manifest: Dict[str, Any],
+    grid_config: Optional[Dict] = None,
+    window_size: int = 7,
+) -> Dict[str, np.ndarray]:
+    """flax {'params', 'batch_stats'} -> reference-format torch state dict.
+
+    The exact inverse of :func:`convert_occformer` (round-trip bit-equality
+    is tested), so TPU-trained weights can be validated or served through
+    the reference torch stack.  Keys the converter never consumes are
+    synthesized: ``num_batches_tracked`` zeros, Swin
+    ``relative_position_index`` recomputed, and the view transformer's
+    ``dx/bx/nx`` grid constants from ``grid_config`` (omitted if None).
+    Raises if any other manifest element would be left unfilled."""
+    index_map, offsets, total = build_export_permutation(manifest, variables)
+
+    def tree_get(root, path):
+        node = root
+        for k in path.split("/"):
+            node = node[k]
+        return node
+
+    flat = np.zeros((total,), np.float64)
+    filled = np.zeros((total,), bool)
+    for path, idx in index_map.items():
+        leaf = np.asarray(tree_get(variables, path), np.float64)
+        flat[idx.ravel()] = leaf.ravel()
+        filled[idx.ravel()] = True
+
+    out: Dict[str, np.ndarray] = {}
+    missing = []
+    for k, (start, shape) in offsets.items():
+        n = int(np.prod(shape)) if shape else 1
+        if filled[start:start + n].all():
+            out[k] = flat[start:start + n].reshape(shape).astype(np.float32)
+            continue
+        # synthesizable buffers (the converter's allowlisted unconsumed keys)
+        if k.endswith(".num_batches_tracked"):
+            out[k] = np.zeros(shape, np.int64)
+        elif k.endswith(".relative_position_index"):
+            from ..models.swin import _relative_position_index
+
+            out[k] = _relative_position_index(
+                window_size, window_size).astype(np.int64)
+        elif k in ("img_view_transformer.dx", "img_view_transformer.bx",
+                   "img_view_transformer.nx"):
+            if grid_config is None:
+                continue  # torch load_state_dict(strict=False) territory
+            from ..ops.geometry import gen_dx_bx
+
+            dx, bx, nx = gen_dx_bx(grid_config["xbound"],
+                                   grid_config["ybound"],
+                                   grid_config["zbound"])
+            out[k] = {"img_view_transformer.dx": dx,
+                      "img_view_transformer.bx": bx,
+                      "img_view_transformer.nx": nx.astype(np.float32)}[k]
+        else:
+            missing.append(k)
+    if missing:
+        raise ValueError(
+            f"{len(missing)} manifest keys not reachable from the flax tree "
+            f"(first: {missing[:10]}) — model/manifest mismatch")
+    return out
