@@ -7,13 +7,14 @@ are collated into fixed-capacity numpy buffers (LiDAR points padded to
 ``max_points`` with a validity mask) so the jitted train step never sees a
 dynamic shape.
 
-Conscious deviation: ``DistributedGroupSampler``'s aspect-ratio group flags
-(group_sampler.py:14-77, batches drawn within a ``flag`` group so mixed
-portrait/landscape images never share a batch) are dropped.  Every released
-OccFormer config feeds fixed-size inputs (ida_aug resizes to one
-``input_size``), so each dataset has exactly one group and grouped sampling
-degenerates to the plain shuffle implemented here; static-shape batching
-also makes mixed-shape batches impossible by construction.
+``DistributedGroupSampler``'s aspect-ratio groups (group_sampler.py:14-77)
+are supported via ``group_flags``: when a dataset exposes per-sample group
+ids (the reference's ``dataset.flag``), batches are drawn group-pure —
+mixed portrait/landscape images never share a batch — with each group
+padded by in-group resampling to a multiple of ``batch_size * num_hosts``
+so every host runs the same number of SPMD steps.  Every released OccFormer
+config feeds fixed-size inputs (one ``input_size``), i.e. a single group,
+where grouped sampling degenerates to the plain shuffle.
 """
 from __future__ import annotations
 
@@ -88,7 +89,16 @@ def collate_batch(
 
 class ShardedLoader:
     """Epoch-seeded shuffled iterator over this host's shard, with a
-    background prefetch thread."""
+    background prefetch thread.
+
+    ``group_flags`` (or a ``dataset.flag`` attribute) enables
+    DistributedGroupSampler-equivalent sampling: every batch is drawn from a
+    single group (group_sampler.py:55-77), each group padded by in-group
+    resampling to a multiple of ``batch_size * num_hosts``, and the
+    group-pure batch units are epoch-shuffled then dealt round-robin across
+    hosts — equal step counts per host, exactly like the reference's
+    rank-sliced indices.
+    """
 
     def __init__(
         self,
@@ -102,6 +112,7 @@ class ShardedLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         collate_fn: Optional[Callable] = None,
+        group_flags: Optional[np.ndarray] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -112,6 +123,14 @@ class ShardedLoader:
         self.max_points = max_points
         self.drop_last = drop_last
         self.prefetch = prefetch
+        if group_flags is None:
+            group_flags = getattr(dataset, "flag", None)
+        self.group_flags = (
+            None if group_flags is None else np.asarray(group_flags))
+        if self.group_flags is not None:
+            assert len(self.group_flags) == len(dataset), (
+                f"group_flags length {len(self.group_flags)} != "
+                f"dataset length {len(dataset)}")
         self.collate_fn = collate_fn or (
             lambda s, rng=None: collate_batch(s, max_points=self.max_points,
                                               rng=rng)
@@ -130,11 +149,48 @@ class ShardedLoader:
         self.epoch = epoch
 
     def __len__(self):
+        if self._grouped:
+            bs_nh = self.batch_size * self.num_hosts
+            return sum(
+                -(-int(n) // bs_nh)
+                for n in np.bincount(self.group_flags) if n > 0)
         if self.drop_last:
             per_host = len(self.dataset) // self.num_hosts
             return per_host // self.batch_size
         per_host = len(self._indices())
         return -(-per_host // self.batch_size)
+
+    @property
+    def _grouped(self) -> bool:
+        # group-pure batching applies to (shuffled) training; ordered eval
+        # must cover each sample exactly once, so flags are ignored there
+        return self.group_flags is not None and self.shuffle
+
+    def _grouped_indices(self) -> np.ndarray:
+        """Group-pure batch units, padded + dealt as in DistributedGroupSampler.
+
+        Per group: epoch-shuffle its indices, pad to a multiple of
+        ``batch_size * num_hosts`` by resampling in-group (the reference
+        repeats ``indice[:extra]``, group_sampler.py:131-135 — same
+        distributional effect), split into batch-size units.  Units are then
+        globally shuffled and dealt ``host_id::num_hosts``; every group
+        contributes a multiple of ``num_hosts`` units, so shards are equal.
+        """
+        rng = np.random.RandomState(self.seed + self.epoch)
+        bs, nh = self.batch_size, self.num_hosts
+        units: List[np.ndarray] = []
+        for g in np.unique(self.group_flags):
+            gi = np.flatnonzero(self.group_flags == g)
+            gi = gi[rng.permutation(len(gi))]
+            target = -(-len(gi) // (bs * nh)) * bs * nh
+            if target > len(gi):
+                extra = gi[rng.randint(0, len(gi), target - len(gi))]
+                gi = np.concatenate([gi, extra])
+            units.extend(np.split(gi, len(gi) // bs))
+        order = rng.permutation(len(units))
+        units = [units[i] for i in order]
+        mine = units[self.host_id :: nh]
+        return np.concatenate(mine) if mine else np.zeros((0,), np.int64)
 
     def _indices(self) -> np.ndarray:
         """This host's shard of the (epoch-seeded) sample order.
@@ -147,6 +203,8 @@ class ShardedLoader:
         (datasets/samplers/distributed_sampler.py:9); exactness holds
         because eval reduces raw counters, not per-host averages.
         """
+        if self._grouped:
+            return self._grouped_indices()
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -204,7 +262,7 @@ def build_dataloader(dataset, samples_per_gpu=1, shuffle=True, seed=0,
     return ShardedLoader(
         dataset, batch_size=samples_per_gpu, shuffle=shuffle, seed=seed,
         num_hosts=num_hosts, host_id=host_id, max_points=max_points,
-        drop_last=drop_last,
+        drop_last=drop_last, group_flags=kwargs.get("group_flags"),
     )
 
 

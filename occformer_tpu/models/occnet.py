@@ -34,6 +34,7 @@ class DualpathTransformerBlock(nn.Module):
     layer_index: int = 0
     num_groups: int = 32
     aspp_drop: float = 0.1
+    pack_windows: int = 1
     train: bool = False
     dtype: Any = jnp.float32
 
@@ -60,6 +61,7 @@ class DualpathTransformerBlock(nn.Module):
         both = SwinBlock(
             embed_dims=C, num_heads=num_heads, feedforward_channels=C,
             window_size=7, shift=shift, drop_path_rate=0.2,
+            pack_windows=self.pack_windows,
             train=self.train, dtype=self.dtype, name="bev_encoder",
         )(both)
         y_bev, slices = both[:B], both[B:]
@@ -92,6 +94,7 @@ class OccupancyEncoder(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     num_groups: int = 32
     with_cp: bool = True
+    pack_windows: int = 1  # Swin windows per attention row (MXU tiling lever)
     train: bool = False
     dtype: Any = jnp.float32
     norm_cfg: Any = None  # config parity
@@ -114,6 +117,7 @@ class OccupancyEncoder(nn.Module):
                     stride=self.block_strides[i] if j == 0 else 1,
                     layer_index=layer_index,
                     num_groups=self.num_groups,
+                    pack_windows=self.pack_windows,
                     train=self.train,
                     dtype=self.dtype,
                     name=f"stage{i}_block{j}",

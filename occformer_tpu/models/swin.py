@@ -54,6 +54,29 @@ def _shift_attn_mask(h_pad: int, w_pad: int, window: int, shift: int) -> np.ndar
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def _packed_attn_mask(h_pad: int, w_pad: int, window: int, shift: int,
+                      pack: int) -> np.ndarray:
+    """Additive mask for ``pack`` windows stacked on the token axis:
+    [num_packs, pack*n, pack*n] with -100 on cross-window blocks and the
+    SW-MSA region mask (if ``shift``) on the diagonal blocks."""
+    n = window * window
+    nW = (h_pad // window) * (w_pad // window)
+    pad = (-nW) % pack
+    if shift > 0:
+        m = _shift_attn_mask(h_pad, w_pad, window, shift)
+    else:
+        m = np.zeros((nW, n, n), np.float32)
+    if pad:
+        m = np.concatenate([m, np.zeros((pad, n, n), np.float32)])
+    nP = (nW + pad) // pack
+    mr = m.reshape(nP, pack, n, n)
+    big = np.full((nP, pack * n, pack * n), -100.0, np.float32)
+    for i in range(pack):
+        big[:, i * n : (i + 1) * n, i * n : (i + 1) * n] = mr[:, i]
+    return big
+
+
 def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B*nWh*nWw, window*window, C] (reshape/transpose only)."""
     B, H, W, C = x.shape
@@ -70,16 +93,23 @@ def window_reverse(wins: jnp.ndarray, window: int, B: int, H: int, W: int) -> jn
 
 
 class WindowMSA(nn.Module):
-    """W-MSA with relative position bias (window_attention.py:14-113)."""
+    """W-MSA with relative position bias (window_attention.py:14-113).
+
+    ``pack`` > 1 runs attention on ``pack`` windows concatenated along the
+    token axis (N = pack * window^2) — the caller masks cross-window pairs —
+    so the [N, N] attention matmuls fill more of the MXU's 128-wide tiles
+    than a lone 49-token window.  Parameters are identical for any pack.
+    """
 
     embed_dims: int
     num_heads: int
     window_size: int
+    pack: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
-        # x: [B_, N, C] where B_ = num_windows * B, N = window^2
+        # x: [B_, N, C] where B_ = num_windows * B / pack, N = pack * window^2
         B_, N, C = x.shape
         H = self.num_heads
         hd = C // H
@@ -96,7 +126,12 @@ class WindowMSA(nn.Module):
             jnp.float32,
         )
         idx = _relative_position_index(self.window_size, self.window_size)
-        bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
+        n = self.window_size * self.window_size
+        bias = table[idx.reshape(-1)].reshape(n, n, H).transpose(2, 0, 1)
+        if self.pack > 1:  # block-diagonal tile (off-diag blocks are masked)
+            bias = jnp.einsum(
+                "hmn,pq->hpmqn", bias, jnp.eye(self.pack, dtype=bias.dtype)
+            ).reshape(H, N, N)
         attn = attn + bias[None].astype(attn.dtype)
 
         if mask is not None:  # [nW, N, N] additive
@@ -110,12 +145,20 @@ class WindowMSA(nn.Module):
 
 
 class ShiftWindowMSA(nn.Module):
-    """Pad -> (shift) -> window attention -> reverse (window_attention.py:116-274)."""
+    """Pad -> (shift) -> window attention -> reverse (window_attention.py:116-274).
+
+    ``pack_windows`` > 1 batches that many windows per attention row (token
+    axis) with a block-diagonal mask — numerically the same attention (the
+    cross blocks get the reference's -100 additive mask, identical to how
+    SW-MSA isolates regions) but with [pack*49, pack*49] score matrices that
+    waste fewer MXU lanes than [49, 49].  Parameter tree is unchanged.
+    """
 
     embed_dims: int
     num_heads: int
     window_size: int = 7
     shift_size: int = 0
+    pack_windows: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,6 +166,7 @@ class ShiftWindowMSA(nn.Module):
         # x: [B, H, W, C]
         B, H, W, C = x.shape
         w = self.window_size
+        p = self.pack_windows
         pad_b = (w - H % w) % w
         pad_r = (w - W % w) % w
         x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
@@ -135,8 +179,21 @@ class ShiftWindowMSA(nn.Module):
             mask = None
 
         wins = window_partition(x, w)
-        wins = WindowMSA(self.embed_dims, self.num_heads, w,
+        if p > 1:
+            n = w * w
+            nW = (Hp // w) * (Wp // w)
+            pad_w = (-nW) % p
+            wins = wins.reshape(B, nW, n, C)
+            if pad_w:
+                wins = jnp.pad(wins, ((0, 0), (0, pad_w), (0, 0), (0, 0)))
+            wins = wins.reshape(B * (nW + pad_w) // p, p * n, C)
+            mask = jnp.asarray(
+                _packed_attn_mask(Hp, Wp, w, self.shift_size, p))
+        wins = WindowMSA(self.embed_dims, self.num_heads, w, pack=p,
                          dtype=self.dtype, name="w_msa")(wins, mask)
+        if p > 1:
+            wins = wins.reshape(B, -1, w * w, C)[:, : (Hp // w) * (Wp // w)]
+            wins = wins.reshape(-1, w * w, C)
         x = window_reverse(wins, w, B, Hp, Wp)
 
         if self.shift_size > 0:
@@ -157,6 +214,7 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift: bool = False
     drop_path_rate: float = 0.2
+    pack_windows: int = 1
     train: bool = False
     dtype: Any = jnp.float32
 
@@ -168,6 +226,7 @@ class SwinBlock(nn.Module):
         y = ShiftWindowMSA(
             self.embed_dims, self.num_heads, self.window_size,
             shift_size=self.window_size // 2 if self.shift else 0,
+            pack_windows=self.pack_windows,
             dtype=self.dtype, name="attn",
         )(y)
         y = DropPath(self.drop_path_rate, deterministic=not self.train,

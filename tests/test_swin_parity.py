@@ -131,3 +131,39 @@ def test_swin_block_parity_no_shift(rng):
 def test_swin_block_parity_shift_with_padding(rng):
     # 16x18 is not a multiple of 7: exercises padding + shifted masks
     _run_case(True, 16, 18, rng)
+
+
+def _pack_equivalence(shift, H, W, rng):
+    """pack_windows=2 must reproduce pack_windows=1 with the same params
+    (round 2 MXU tiling lever; block-diagonal -100 masking is the same
+    isolation mechanism SW-MSA itself uses)."""
+    C, heads, window = 32, 4, 7
+    x = jnp.asarray(rng.randn(2, H, W, C).astype(np.float32))
+    m1 = SwinBlock(embed_dims=C, num_heads=heads, feedforward_channels=C,
+                   window_size=window, shift=shift, drop_path_rate=0.0)
+    m2 = SwinBlock(embed_dims=C, num_heads=heads, feedforward_channels=C,
+                   window_size=window, shift=shift, drop_path_rate=0.0,
+                   pack_windows=2)
+    params = m1.init(jax.random.PRNGKey(0), x)["params"]
+    # identical parameter trees: packing is layout-only
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, m2.init(jax.random.PRNGKey(0), x)["params"])
+    o1 = m1.apply({"params": params}, x)
+    o2 = m2.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pack_windows_equivalence_even_windows(rng):
+    _pack_equivalence(False, 14, 14, rng)  # nW = 4: even, no window padding
+
+
+def test_pack_windows_equivalence_odd_windows_shift(rng):
+    # 21x21 -> 3x3 = 9 windows: odd count exercises the dummy-window pad;
+    # shift exercises packed SW-MSA region masks
+    _pack_equivalence(True, 21, 21, rng)
+
+
+def test_pack_windows_equivalence_padded_shift(rng):
+    _pack_equivalence(True, 16, 18, rng)

@@ -29,14 +29,22 @@ def main():
     p.add_argument("--stage", choices=["img", "feat", "full"], default=None,
                    help="time ONE stage program in this process (reliable "
                         "over the tunnel; run one process per stage)")
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="a.b.c=value model overrides (for A/B perf runs)")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model_and_batch
+    from occformer_tpu.config import parse_override_value
 
-    model, batch = _flagship_model_and_batch(jnp.bfloat16, args.batch_size)
+    overrides = {}
+    for kv in args.cfg_options:
+        k, v = kv.split("=", 1)
+        overrides[k] = parse_override_value(v)
+    model, batch = _flagship_model_and_batch(jnp.bfloat16, args.batch_size,
+                                             cfg_overrides=overrides or None)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
     from occformer_tpu.models.mask2former_head import (
