@@ -86,6 +86,11 @@ def build_loss_cfg(head_cfg: Dict, train_cfg: Dict) -> MaskLossConfig:
         # MaskLossConfig.match_num_points) — safe-mode lever for the axon
         # panoptic exec-2 instability at [G~100, P~50k]
         match_num_points=train_cfg.get("match_num_points"),
+        # chunk the differentiated supervision readout over the point axis
+        # (numerically identical; keeps each backward trilinear-scatter
+        # inside the axon-stable [G~100, P<~40k] envelope — see
+        # MaskLossConfig.point_chunks)
+        point_chunks=int(head_cfg.get("point_chunks", 1)),
     )
 
 

@@ -79,6 +79,15 @@ class MaskLossConfig:
     # failure (NOTES.md: the [G~100, P~50k] matching block is one of the two
     # suspects; supervision chunking via gt_chunks is the other).
     match_num_points: Optional[int] = None
+    # Chunk the DIFFERENTIATED supervision readout (lidar-point branch) over
+    # the point axis: the selected sup_coords are computed once, then the
+    # pred sampling runs in this many sequential rematerialized slices, so
+    # each backward trilinear-scatter is [G, num_points/point_chunks] — the
+    # axon backend's exec-2 fault triggers only at [G~100, P>~40k]
+    # differentiated samplings (NOTES.md bisect), and 50176/2 is inside the
+    # measured-stable envelope.  Numerically identical to 1 = off (the
+    # coords, not the math, are what is split).
+    point_chunks: int = 1
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
@@ -268,10 +277,34 @@ def _loss_single_sample(
             sup_coords = uncertainty_sample_coords(
                 None, cand_c, jax.lax.stop_gradient(cand_logits),
                 cfg.num_points, cfg.importance_sample_ratio, rand=rand_c)
-            sup_pred_c = point_sample_3d(
-                pos_c[..., None], sup_coords,
-                align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
-            )[..., 0]
+
+            def sample_at(pos, coords):
+                return point_sample_3d(
+                    pos[..., None], coords,
+                    align_corners=cfg.align_corners,
+                    padding_mode=cfg.padding_mode,
+                )[..., 0]
+
+            P = sup_coords.shape[1]
+            Kp = max(1, min(cfg.point_chunks, P))
+            if Kp == 1:
+                sup_pred_c = sample_at(pos_c, sup_coords)
+            else:
+                # split the differentiated readout over the point axis: each
+                # slice's backward trilinear-scatter is [g, P/Kp]-shaped
+                # (see point_chunks docstring); barrier-chain the slices so
+                # XLA cannot fuse them back into one full-size scatter
+                pbounds = [round(i * P / Kp) for i in range(Kp + 1)]
+                slice_fn = jax.checkpoint(sample_at)
+                parts = []
+                pos_dep = pos_c
+                for ps, pe in zip(pbounds[:-1], pbounds[1:]):
+                    if parts:
+                        pos_dep, _ = jax.lax.optimization_barrier(
+                            (pos_dep, parts[-1]))
+                    parts.append(slice_fn(pos_dep, sup_coords[:, ps:pe]))
+                sup_pred_c = jnp.concatenate(parts, axis=1)
+            # target readout is detached — no VJP scatter, never chunked
             sup_tgt_c = point_sample_3d(
                 gt_masks_c[..., None], sup_coords,
                 align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,

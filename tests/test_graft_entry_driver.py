@@ -16,9 +16,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DRIVER_SCRIPT = """
 import jax
-# Worst case: backend already initialized on the default (single-device)
-# platform before dryrun_multichip is called.
-jax.devices()
+# Pin the platform to CPU *via config*: the container's sitecustomize sets
+# jax_platforms=axon with config.update, which overrides any env var — an
+# env-only pin would initialize the tunnel TPU here and hang whenever the
+# tunnel is down (observed 2026-08-17).  The code path under test is
+# unchanged: an ALREADY-INITIALIZED single-device backend must be torn
+# down and rebuilt as the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.devices()  # initialize: 1 CPU device
 import __graft_entry__ as g
 g.dryrun_multichip(8)
 """
@@ -27,11 +32,6 @@ g.dryrun_multichip(8)
 def test_dryrun_multichip_self_provisions():
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
-    # Force the default platform to CPU-with-1-device to emulate the driver's
-    # "too few devices" starting point without needing the real chip (the
-    # tunnel TPU may be busy; the code path is identical: initialized backend
-    # with < 8 devices -> clear -> rebuild with 8 virtual CPU devices).
-    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, "-c", DRIVER_SCRIPT], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=900,

@@ -117,6 +117,45 @@ def test_gt_chunks_bit_transparent(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("point_chunks", [2, 5])
+def test_point_chunks_bit_transparent(rng, point_chunks):
+    """point_chunks splits only the differentiated supervision readout over
+    the point axis (sup_coords are computed once, then sliced): losses AND
+    gradients match the unchunked path.  5 does not divide num_points=16, so
+    the ragged-bounds path is covered too."""
+    import dataclasses
+
+    cfg1 = _cfg(use_lidar=True)
+    cfgk = dataclasses.replace(cfg1, point_chunks=point_chunks, gt_chunks=2)
+    cls, emb, feat = _outputs(rng)
+    gt = jnp.asarray(rng.randint(0, 4, (1, 16, 16, 8)).astype(np.int32))
+    lidar = jnp.asarray(rng.rand(1, 32, 3).astype(np.float32))
+    valid = jnp.ones((1, 32), bool)
+
+    def run(cfg, emb_, feat_):
+        return mask2former_loss(jax.random.PRNGKey(11), cls, emb_, feat_, gt,
+                                cfg, lidar_xyz=lidar, lidar_valid=valid)
+
+    l1 = run(cfg1, emb, feat)
+    lk = run(cfgk, emb, feat)
+    assert set(l1) == set(lk)
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(lk[k]), rtol=1e-6,
+                                   err_msg=k)
+
+    def total(cfg):
+        def f(args):
+            emb_, feat_ = args
+            return sum(run(cfg, emb_, feat_).values())
+        return jax.grad(f)((emb, feat))
+
+    g1 = total(cfg1)
+    gk = total(cfgk)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(gk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 # ---- auction safety net (VERDICT r1 weak #6) -------------------------------
 
 def test_auction_cap_leaves_unassigned_never_misassigns(rng):
