@@ -26,10 +26,36 @@ A100_BASELINE_FPS = 4.5
 WARMUP = 3
 ITERS = 30
 WINDOWS = 5
+# The axon tunnel has outage stretches (NOTES.md) during which ANY device
+# call hangs with no error.  A hung bench records nothing for the round;
+# the watchdog turns that into an explicit failure line instead.
+DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", 2700))
+
+
+def _arm_watchdog():
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "nusc_r50_256x704_infer_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend unresponsive for {DEADLINE_SECS:.0f}s "
+                     "(axon tunnel outage; see NOTES.md) — no measurement",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(DEADLINE_SECS, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def main():
     import jax
+
+    watchdog = _arm_watchdog()
 
     from __graft_entry__ import entry
 
@@ -62,6 +88,7 @@ def main():
 
     frames = ITERS * batch["imgs"].shape[0]
     fps = frames / best_dt
+    watchdog.cancel()
     print(json.dumps({
         "metric": "nusc_r50_256x704_infer_frames_per_sec_per_chip",
         "value": round(fps, 3),
