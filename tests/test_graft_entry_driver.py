@@ -29,12 +29,37 @@ g.dryrun_multichip(8)
 """
 
 
-def test_dryrun_multichip_self_provisions():
+# The production driver path: module imported bare, dryrun_multichip called
+# with NO backend initialized.  _ensure_devices must configure the CPU mesh
+# WITHOUT ever probing jax.devices() first — under the container's
+# sitecustomize (jax_platforms=axon) a probe would initialize the tunnel
+# TPU, which hangs outright during tunnel outages.  The tripwire asserts no
+# non-CPU backend was ever brought up in the process.
+BARE_SCRIPT = """
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+import jax
+plats = {d.platform for d in jax.devices()}
+assert plats == {"cpu"}, f"non-CPU backend initialized: {plats}"
+"""
+
+
+def _run(script):
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
-    out = subprocess.run(
-        [sys.executable, "-c", DRIVER_SCRIPT], cwd=REPO, env=env,
+    return subprocess.run(
+        [sys.executable, "-c", script], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=900,
     )
+
+
+def test_dryrun_multichip_self_provisions():
+    out = _run(DRIVER_SCRIPT)
+    assert out.returncode == 0, f"stderr:\n{out.stderr[-3000:]}"
+    assert "OK" in out.stdout, out.stdout
+
+
+def test_dryrun_multichip_bare_driver_path_never_inits_tunnel():
+    out = _run(BARE_SCRIPT)
     assert out.returncode == 0, f"stderr:\n{out.stderr[-3000:]}"
     assert "OK" in out.stdout, out.stdout
