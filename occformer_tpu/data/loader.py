@@ -138,8 +138,12 @@ class ShardedLoader:
         import inspect
 
         try:
+            # only inject the RandomState into collate fns that declare an
+            # ``rng`` parameter — a parameter-count heuristic would feed it
+            # to e.g. functools.partial(collate, max_points=...) (TypeError)
+            # or into an unrelated second parameter (silent misbehavior)
             self._collate_takes_rng = (
-                len(inspect.signature(self.collate_fn).parameters) >= 2)
+                "rng" in inspect.signature(self.collate_fn).parameters)
         except (TypeError, ValueError):
             self._collate_takes_rng = False
         self.epoch = 0
@@ -235,7 +239,7 @@ class ShardedLoader:
                         (self.seed * 1000003 + self.epoch * 8191
                          + int(chunk[0])) % (2 ** 31 - 1))
                     if self._collate_takes_rng:
-                        batch = self.collate_fn(samples, rng)
+                        batch = self.collate_fn(samples, rng=rng)
                     else:  # custom 1-arg collate_fn
                         batch = self.collate_fn(samples)
                     q.put(batch)
@@ -259,10 +263,13 @@ def build_dataloader(dataset, samples_per_gpu=1, shuffle=True, seed=0,
     every sample exactly once, tail included."""
     if drop_last is None:
         drop_last = shuffle
+    # forward everything else (collate_fn, prefetch, group_flags, ...) so
+    # recognized loader options are never silently dropped; unknown keys
+    # raise TypeError at the ShardedLoader constructor
     return ShardedLoader(
         dataset, batch_size=samples_per_gpu, shuffle=shuffle, seed=seed,
         num_hosts=num_hosts, host_id=host_id, max_points=max_points,
-        drop_last=drop_last, group_flags=kwargs.get("group_flags"),
+        drop_last=drop_last, **kwargs,
     )
 
 

@@ -174,9 +174,9 @@ class ShiftWindowMSA(nn.Module):
 
         if self.shift_size > 0:
             x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(Hp, Wp, w, self.shift_size))
-        else:
-            mask = None
+        # p > 1 builds its own (shift-aware) packed mask below
+        mask = (jnp.asarray(_shift_attn_mask(Hp, Wp, w, self.shift_size))
+                if self.shift_size > 0 and p == 1 else None)
 
         wins = window_partition(x, w)
         if p > 1:

@@ -87,6 +87,18 @@ def host_allreduce_sum(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     out = {}
     for k in sorted(state):  # deterministic order across hosts
         v = np.asarray(state[k])
-        gathered = multihost_utils.process_allgather(v)
-        out[k] = np.asarray(gathered).sum(axis=0).astype(v.dtype)
+        if v.dtype.itemsize == 8:
+            # jax canonicalizes int64/float64 to 32-bit when x64 is off —
+            # a silent wrap for voxel counters past 2**31 (an SSC
+            # confusion-matrix cell crosses that within ~1k frames of a
+            # 2.1M-voxel grid).  Transport the raw bits as uint32 pairs
+            # and reconstruct + sum at full width on the host.
+            flat = np.ascontiguousarray(np.atleast_1d(v))
+            bits = flat.view(np.uint32).reshape(flat.shape + (2,))
+            g = np.ascontiguousarray(multihost_utils.process_allgather(bits))
+            per_proc = g.view(v.dtype).reshape((g.shape[0],) + flat.shape)
+            out[k] = per_proc.sum(axis=0).reshape(v.shape).astype(v.dtype)
+        else:
+            gathered = multihost_utils.process_allgather(v)
+            out[k] = np.asarray(gathered).sum(axis=0).astype(v.dtype)
     return out

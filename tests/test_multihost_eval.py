@@ -131,3 +131,34 @@ def test_host_allreduce_sum_single_process_identity():
     state = {"confusion": np.arange(9).reshape(3, 3)}
     out = host_allreduce_sum(state)
     np.testing.assert_array_equal(out["confusion"], state["confusion"])
+
+
+def test_host_allreduce_sum_preserves_64bit_counters(monkeypatch):
+    """jax canonicalizes int64 -> int32 / float64 -> float32 when x64 is off,
+    which would silently wrap SSC voxel counters past 2**31 on multi-host
+    eval.  The allgather transport must be bit-exact for 8-byte dtypes.
+    The fake allgather canonicalizes exactly like jax does (via jnp.asarray)
+    and stacks two process copies."""
+    import jax.numpy as jnp
+
+    from occformer_tpu.parallel import mesh as mesh_mod
+    from jax.experimental import multihost_utils
+
+    def fake_allgather(x):
+        canon = jnp.asarray(x)  # int64 -> int32 here, like the real gather
+        return jnp.stack([canon, canon])
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+
+    big = np.int64(2**31 + 12345)  # wraps negative if squeezed through int32
+    state = {
+        "cm": np.array([[big, 3], [0, 7]], np.int64),
+        "scalar64": np.float64(1e-17) + np.float64(1.0),  # f32 would drop it
+        "small": np.arange(4, dtype=np.int32),
+    }
+    out = host_allreduce_sum(state)
+    assert out["cm"].dtype == np.int64
+    np.testing.assert_array_equal(out["cm"], 2 * state["cm"])
+    assert out["scalar64"] == 2.0 + 2e-17  # exact in float64, not in float32
+    np.testing.assert_array_equal(out["small"], 2 * state["small"])
