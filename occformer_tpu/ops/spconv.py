@@ -91,6 +91,20 @@ def lookup_sites(
     return jnp.where(found, order[pos], -1)
 
 
+def build_neighbor_table(coords, valid, grid, kernel_size: int) -> jnp.ndarray:
+    """[N, K] index of the active site at each stride-1 kernel tap, or -1.
+
+    The gather backend's analogue of spconv's cached indice pairs: a stack
+    of submanifold convs over the SAME active set can build this once and
+    pass it to each layer via ``SubMConv3d(...)(..., nbr=table)`` (within
+    one jit XLA's CSE usually dedupes the internal rebuilds anyway; the
+    explicit table is for cross-jit reuse and clarity).
+    """
+    taps = _taps(kernel_size) - (kernel_size - 1) // 2
+    return lookup_sites(coords, valid, grid,
+                        coords[:, None, :] + taps[None], valid[:, None])
+
+
 def _taps(kernel_size: int) -> jnp.ndarray:
     """Kernel tap offsets [K, 3] in the row-major (tx, ty, tz) order the
     dense conv kernel ``[k, k, k, C, D]`` reshapes to — tap t reads input at
@@ -161,15 +175,13 @@ class SubMConv3d(nn.Module):
     backend: str = "dense"  # "dense" | "gather" (see module docstring)
 
     @nn.compact
-    def __call__(self, feats, coords, valid, grid):
+    def __call__(self, feats, coords, valid, grid, nbr=None):
         from ..models.layers import Conv
 
         if self.backend == "gather":
             k = self.kernel_size
-            taps = _taps(k) - (k - 1) // 2  # stride-1 neighbor offsets
-            nbr = lookup_sites(coords, valid, grid,
-                               coords[:, None, :] + taps[None],
-                               valid[:, None])  # [N, K]
+            if nbr is None:  # [N, K]; precompute via build_neighbor_table
+                nbr = build_neighbor_table(coords, valid, grid, k)
             g = jnp.where((nbr >= 0)[..., None],
                           feats[jnp.clip(nbr, 0)], 0)
             out = _GatherKernel(self.features, k, self.use_bias, self.dtype,

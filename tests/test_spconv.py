@@ -113,6 +113,21 @@ def test_strided_gather_matches_dense(rng, stride, kernel):
                                    err_msg=f"cell {l}")
 
 
+def test_subm_gather_precomputed_neighbor_table(rng):
+    """A shared neighbor table (spconv indice-pair reuse) gives identical
+    results to the internal rebuild."""
+    from occformer_tpu.ops.spconv import build_neighbor_table
+
+    grid = (7, 6, 5)
+    feats, coords, valid = _sites(rng, 22, grid, 40)
+    m = SubMConv3d(features=8, backend="gather")
+    p = m.init(jax.random.PRNGKey(0), feats, coords, valid, grid)
+    table = build_neighbor_table(coords, valid, grid, 3)
+    out_a, _, _ = m.apply(p, feats, coords, valid, grid)
+    out_b, _, _ = m.apply(p, feats, coords, valid, grid, nbr=table)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
 def test_strided_gather_capacity_overflow_keeps_lowest_lin(rng):
     grid = (8, 8, 6)
     feats, coords, valid = _sites(rng, 40, grid, 64)
