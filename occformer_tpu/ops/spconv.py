@@ -32,6 +32,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def densify(
@@ -76,6 +77,12 @@ def lookup_sites(
     """
     X, Y, Z = grid
     n_cells = X * Y * Z
+    if n_cells + 2 > np.iinfo(np.int32).max:
+        # linear indices are int32 on device (jax canonicalizes int64 away
+        # when x64 is off) — a larger grid would wrap silently
+        raise ValueError(
+            f"grid {tuple(grid)} has {n_cells} cells, exceeding the int32 "
+            "linear-index range; shard the grid or enable jax x64")
     lin = (coords[:, 0] * Y + coords[:, 1]) * Z + coords[:, 2]
     # invalid sites sort to n_cells; queries use n_cells + 1 so neither can
     # ever match the other

@@ -171,6 +171,24 @@ def test_gather_backend_large_grid_and_grads(rng):
     assert np.isfinite(np.asarray(out1)).all()
 
 
+def test_subm_gather_vmap_batched(rng):
+    """Batched (SECOND-style) usage: vmap over per-sample active sets gives
+    the same per-sample results as individual applies."""
+    grid = (6, 6, 4)
+    per = [_sites(np.random.RandomState(s), 12, grid, 24) for s in (1, 2, 3)]
+    feats = jnp.stack([p[0] for p in per])
+    coords = jnp.stack([p[1] for p in per])
+    valid = jnp.stack([p[2] for p in per])
+    m = SubMConv3d(features=8, backend="gather")
+    p0 = m.init(jax.random.PRNGKey(0), feats[0], coords[0], valid[0], grid)
+    batched = jax.vmap(
+        lambda f, c, v: m.apply(p0, f, c, v, grid)[0])(feats, coords, valid)
+    for i in range(3):
+        single, _, _ = m.apply(p0, feats[i], coords[i], valid[i], grid)
+        np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_assign_score_withk(rng):
     B, N, K, M, C = 2, 5, 3, 4, 6
     scores = jnp.asarray(rng.rand(B, N, K, M).astype(np.float32))
