@@ -113,6 +113,22 @@ def test_strided_gather_matches_dense(rng, stride, kernel):
                                    err_msg=f"cell {l}")
 
 
+def test_subm_gather_matches_dense_bf16(rng):
+    """Production dtype: both backends agree in bf16 too (tap-sum order
+    differs, so tolerance is bf16-scale)."""
+    grid = (7, 6, 5)
+    feats, coords, valid = _sites(rng, 22, grid, 40)
+    feats = feats.astype(jnp.bfloat16)
+    dense_m = SubMConv3d(features=8, dtype=jnp.bfloat16)
+    gather_m = SubMConv3d(features=8, dtype=jnp.bfloat16, backend="gather")
+    p = dense_m.init(jax.random.PRNGKey(0), feats, coords, valid, grid)
+    out_d, _, _ = dense_m.apply(p, feats, coords, valid, grid)
+    out_g, _, _ = gather_m.apply(p, feats, coords, valid, grid)
+    np.testing.assert_allclose(
+        np.asarray(out_g, np.float32), np.asarray(out_d, np.float32),
+        rtol=0.05, atol=0.05)
+
+
 def test_subm_gather_precomputed_neighbor_table(rng):
     """A shared neighbor table (spconv indice-pair reuse) gives identical
     results to the internal rebuild."""
