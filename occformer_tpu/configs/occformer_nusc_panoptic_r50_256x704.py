@@ -38,7 +38,11 @@ model = dict(
     # fidelity where it decides assignments), supervision samples 37632
     # (75% of the reference density; still 3x-oversampled uncertainty
     # sampling).  Restore num_points=50176 + drop match_num_points when the
-    # backend is fixed.
+    # backend is fixed.  Chunking dodges are measured-falsified on-chip:
+    # neither gt_chunks (2/4/8) nor point_chunks=2 (per-slice backward
+    # scatter [G, 25088], inside the stable envelope) avoids the fault —
+    # it tracks the TOTAL differentiated point count, not per-op size
+    # (NOTES.md, 2026-08-18).
     train_cfg=dict(pts=dict(
         num_points=37632,
         match_num_points=50176,
