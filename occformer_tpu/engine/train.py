@@ -91,6 +91,11 @@ def build_loss_cfg(head_cfg: Dict, train_cfg: Dict) -> MaskLossConfig:
         # inside the axon-stable [G~100, P<~40k] envelope — see
         # MaskLossConfig.point_chunks)
         point_chunks=int(head_cfg.get("point_chunks", 1)),
+        # feature-space point readout (lidar heads): sample the single
+        # [X, Y, Z, C] feature volume and contract with the embeds instead
+        # of forming per-query/per-slot mask volumes — exact identity, no
+        # [G, P] backward trilinear-scatter family (MaskLossConfig docs)
+        feature_readout=bool(head_cfg.get("feature_readout", False)),
     )
 
 

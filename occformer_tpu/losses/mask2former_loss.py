@@ -88,6 +88,21 @@ class MaskLossConfig:
     # measured-stable envelope.  Numerically identical to 1 = off (the
     # coords, not the math, are what is split).
     point_chunks: int = 1
+    # Feature-space point readout (lidar-point heads only).  Trilinear
+    # sampling is LINEAR in the voxel values and every mask volume is
+    # ``mask_pred[q] = emb[q] . mask_feature``, so
+    #   point_sample(emb . feature, p)  ==  emb . point_sample(feature, p)
+    # exactly (real arithmetic).  With this flag the loss never materializes
+    # a [Q, X, Y, Z] or [G, X, Y, Z] mask volume: points sample the single
+    # [X, Y, Z, C] feature volume (backward = one [P, C]-shaped scatter with
+    # the channel dim minor — MXU/lane-friendly) and the per-slot logits are
+    # a [G, C] x [C, P] matmul.  This (a) removes the [G~100, P~50k]
+    # per-slot backward trilinear-scatter family behind the axon panoptic
+    # exec-2 fault, and (b) skips the L x [B, Q, X*Y*Z, C] einsums in the
+    # loss.  Rounding differs slightly from the volume path (fp32 lerp of
+    # features then fp32 contraction, vs bf16 contraction then fp32 lerp);
+    # equality is exact when everything is fp32 (tests/test_losses.py).
+    feature_readout: bool = False
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
@@ -164,6 +179,8 @@ def _match_single_sample(
     lidar_valid: Optional[jnp.ndarray],
     sample_weights: Optional[jnp.ndarray],
     cfg: MaskLossConfig,
+    mask_embed: Optional[jnp.ndarray] = None,  # [Q, C] (feature_readout)
+    feature: Optional[jnp.ndarray] = None,     # [X, Y, Z, C] (feature_readout)
 ) -> jnp.ndarray:
     """Matching only (reference _get_target_single assignment half): sampled
     matching points -> cost matrix -> device auction.  Runs entirely outside
@@ -173,10 +190,22 @@ def _match_single_sample(
 
     if cfg.use_lidar_points:
         pts = _matching_points_nusc(r_match, lidar_xyz, lidar_valid, cfg)
-        mask_pts_pred = point_sample_3d(
-            mask_pred.transpose(1, 2, 3, 0)[None], pts[None],
-            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
-        )[0].T  # [Q, P]
+        if cfg.feature_readout:
+            # emb . point_sample(feature) == point_sample(emb . feature):
+            # one [P, C] gather + a [Q, C] x [C, P] matmul instead of a
+            # [Q, X, Y, Z] volume materialization + per-query sampling
+            feat_pts = point_sample_3d(
+                feature[None], pts[None], align_corners=cfg.align_corners,
+                padding_mode=cfg.padding_mode,
+            )[0]  # [P, C]
+            mask_pts_pred = jnp.einsum(
+                "qc,pc->qp", mask_embed.astype(jnp.float32),
+                feat_pts.astype(jnp.float32))
+        else:
+            mask_pts_pred = point_sample_3d(
+                mask_pred.transpose(1, 2, 3, 0)[None], pts[None],
+                align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+            )[0].T  # [Q, P]
         gt_pts = point_sample_3d(
             gt_masks.transpose(1, 2, 3, 0)[None], pts[None],
             align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
@@ -214,6 +243,8 @@ def _loss_single_sample(
     lidar_valid: Optional[jnp.ndarray],  # [P] or None
     sample_weights: Optional[jnp.ndarray],
     cfg: MaskLossConfig,
+    mask_embed: Optional[jnp.ndarray] = None,  # [Q, C] (feature_readout)
+    feature: Optional[jnp.ndarray] = None,     # [X, Y, Z, C] (feature_readout)
 ):
     """Targets + per-sample partial sums for one (layer, sample)."""
     Q = cls_score.shape[0]
@@ -262,33 +293,64 @@ def _loss_single_sample(
         rand_all = jax.random.uniform(r_sup2, (G, n_rand, 3), jnp.float32) \
             if n_rand > 0 else None
 
+        if cfg.feature_readout:
+            # candidate features: ONE shared [S, C] gather (the scoring pass
+            # is detached; per-slot logits are a matmul per chunk below).
+            # Kept in the feature dtype — the contractions below accumulate
+            # in fp32 via preferred_element_type, so bf16 features never
+            # materialize as fp32 at [*, P, C] size.
+            feat_cand = point_sample_3d(
+                feature[None], cand[None], align_corners=False,
+                padding_mode=cfg.padding_mode,
+            )[0]  # [S, C]
+
         def sup_chunk(assign_c, gt_masks_c, rand_c):
             """Per-slot sampling for a chunk of gt slots: pos-mask gather,
             uncertainty sampling on the shared candidates, pred/target
             readout.  Rematerialized per chunk so only one chunk's
             [g, num_sampled] temps and pos-mask backward scatter are live."""
             g = assign_c.shape[0]
-            pos_c = mask_pred[jnp.clip(assign_c, 0, Q - 1)]  # [g, X, Y, Z]
             cand_c = jnp.broadcast_to(cand[None], (g,) + cand.shape)
-            cand_logits = point_sample_3d(
-                pos_c[..., None], cand_c, align_corners=False,
-                padding_mode=cfg.padding_mode,
-            )[..., 0]  # [g, S]  (reference samples with default align_corners)
+            if cfg.feature_readout:
+                # differentiated source = the matched embeds; logits at any
+                # point set are emb . sampled-features (exact identity with
+                # the volume path, see MaskLossConfig.feature_readout)
+                src_c = mask_embed[jnp.clip(assign_c, 0, Q - 1)]  # [g, C]
+                cand_logits = jnp.einsum(
+                    "gc,sc->gs", src_c, feat_cand,
+                    preferred_element_type=jnp.float32)
+
+                def sample_at(emb_cc, coords):
+                    gg, pp = coords.shape[:2]
+                    fp = point_sample_3d(
+                        feature[None], coords.reshape(1, gg * pp, 3),
+                        align_corners=cfg.align_corners,
+                        padding_mode=cfg.padding_mode,
+                    )[0].reshape(gg, pp, -1)
+                    return jnp.einsum("gc,gpc->gp", emb_cc, fp,
+                                      preferred_element_type=jnp.float32)
+            else:
+                src_c = mask_pred[jnp.clip(assign_c, 0, Q - 1)]  # [g, X, Y, Z]
+                cand_logits = point_sample_3d(
+                    src_c[..., None], cand_c, align_corners=False,
+                    padding_mode=cfg.padding_mode,
+                )[..., 0]  # [g, S]  (reference samples default align_corners)
+
+                def sample_at(pos, coords):
+                    return point_sample_3d(
+                        pos[..., None], coords,
+                        align_corners=cfg.align_corners,
+                        padding_mode=cfg.padding_mode,
+                    )[..., 0]
+
             sup_coords = uncertainty_sample_coords(
                 None, cand_c, jax.lax.stop_gradient(cand_logits),
                 cfg.num_points, cfg.importance_sample_ratio, rand=rand_c)
 
-            def sample_at(pos, coords):
-                return point_sample_3d(
-                    pos[..., None], coords,
-                    align_corners=cfg.align_corners,
-                    padding_mode=cfg.padding_mode,
-                )[..., 0]
-
             P = sup_coords.shape[1]
             Kp = max(1, min(cfg.point_chunks, P))
             if Kp == 1:
-                sup_pred_c = sample_at(pos_c, sup_coords)
+                sup_pred_c = sample_at(src_c, sup_coords)
             else:
                 # split the differentiated readout over the point axis: each
                 # slice's backward trilinear-scatter is [g, P/Kp]-shaped
@@ -297,7 +359,7 @@ def _loss_single_sample(
                 pbounds = [round(i * P / Kp) for i in range(Kp + 1)]
                 slice_fn = jax.checkpoint(sample_at)
                 parts = []
-                pos_dep = pos_c
+                pos_dep = src_c
                 for ps, pe in zip(pbounds[:-1], pbounds[1:]):
                     if parts:
                         pos_dep, _ = jax.lax.optimization_barrier(
@@ -430,6 +492,11 @@ def mask2former_loss(
     (mask2former_occ.py:324-338).
     """
     L, B = cls_preds.shape[:2]
+    if cfg.feature_readout and not cfg.use_lidar_points:
+        raise ValueError(
+            "feature_readout is implemented for the LiDAR-point heads "
+            "(use_lidar_points=True); the KITTI grid-gather path keeps the "
+            "volume readout")
     if gt_override is not None:
         gt_masks, gt_labels, gt_valid = gt_override
     else:
@@ -437,9 +504,18 @@ def mask2former_loss(
     sw_rng, rng = jax.random.split(rng)
     sample_weights = _resolve_sample_weights(sw_rng, cfg)
 
-    def match_one(l_rng, cls_l, mask_l):
+    def match_one(l_rng, cls_l, mask_l, emb_l):
         keys = jax.random.split(l_rng, B)
         if cfg.use_lidar_points:
+            if cfg.feature_readout:
+                return jax.vmap(
+                    lambda k, cs, gm, gl, gv, lx, lv, em, ft:
+                    _match_single_sample(
+                        k, cs, None, gm, gl, gv, lx, lv, sample_weights, cfg,
+                        mask_embed=em, feature=ft,
+                    )
+                )(keys, cls_l, gt_masks, gt_labels, gt_valid,
+                  lidar_xyz, lidar_valid, emb_l, mask_feature)
             return jax.vmap(
                 lambda k, cs, mp, gm, gl, gv, lx, lv: _match_single_sample(
                     k, cs, mp, gm, gl, gv, lx, lv, sample_weights, cfg
@@ -452,16 +528,27 @@ def mask2former_loss(
             )
         )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid)
 
-    def one(l_rng, cls_l, mask_l, assign_l):
+    def one(l_rng, cls_l, mask_l, emb_l, assign_l):
         keys = jax.random.split(l_rng, B)
 
         if cfg.use_lidar_points:
-            parts = jax.vmap(
-                lambda k, cs, mp, gm, gl, gv, aq, lx, lv: _loss_single_sample(
-                    k, cs, mp, gm, gl, gv, aq, lx, lv, sample_weights, cfg
-                )
-            )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid, assign_l,
-              lidar_xyz, lidar_valid)
+            if cfg.feature_readout:
+                parts = jax.vmap(
+                    lambda k, cs, gm, gl, gv, aq, lx, lv, em, ft:
+                    _loss_single_sample(
+                        k, cs, None, gm, gl, gv, aq, lx, lv, sample_weights,
+                        cfg, mask_embed=em, feature=ft,
+                    )
+                )(keys, cls_l, gt_masks, gt_labels, gt_valid, assign_l,
+                  lidar_xyz, lidar_valid, emb_l, mask_feature)
+            else:
+                parts = jax.vmap(
+                    lambda k, cs, mp, gm, gl, gv, aq, lx, lv:
+                    _loss_single_sample(
+                        k, cs, mp, gm, gl, gv, aq, lx, lv, sample_weights, cfg
+                    )
+                )(keys, cls_l, mask_l, gt_masks, gt_labels, gt_valid,
+                  assign_l, lidar_xyz, lidar_valid)
         else:
             parts = jax.vmap(
                 lambda k, cs, mp, gm, gl, gv, aq: _loss_single_sample(
@@ -483,11 +570,15 @@ def mask2former_loss(
     layer_keys = jax.random.split(rng, L)
 
     # phase A (no grad, like the reference's detached assigner): matching per
-    # layer — keeps the auction while_loop entirely out of the VJP
+    # layer — keeps the auction while_loop entirely out of the VJP.  In
+    # feature_readout mode the [B, Q, X, Y, Z] volume is never formed: the
+    # per-sample fns contract embeds with sampled features instead.
     def match_body(carry, xs):
         k, cls_l, emb_l = xs
+        if cfg.feature_readout:
+            return carry, match_one(k, cls_l, None, emb_l)
         mask_l = jnp.einsum("bqc,bxyzc->bqxyz", emb_l, mask_feature)
-        return carry, match_one(k, cls_l, mask_l)
+        return carry, match_one(k, cls_l, mask_l, None)
 
     _, assigns = jax.lax.scan(
         match_body, None,
@@ -500,8 +591,11 @@ def mask2former_loss(
     @jax.checkpoint
     def scan_body(carry, xs):
         k, cls_l, emb_l, assign_l = xs
-        mask_l = jnp.einsum("bqc,bxyzc->bqxyz", emb_l, mask_feature)
-        lc, lm, ld = one(k, cls_l, mask_l, assign_l)
+        if cfg.feature_readout:
+            lc, lm, ld = one(k, cls_l, None, emb_l, assign_l)
+        else:
+            mask_l = jnp.einsum("bqc,bxyzc->bqxyz", emb_l, mask_feature)
+            lc, lm, ld = one(k, cls_l, mask_l, None, assign_l)
         return carry, jnp.stack([lc, lm, ld])
 
     _, stacked = jax.lax.scan(

@@ -17,9 +17,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # persistent compilation cache: the tiny-model programs recompile across
-# many tests/subprocesses; caching them cuts the suite wall time
+# many tests/subprocesses; caching them cuts the suite wall time.  The dir
+# is host-fingerprinted — XLA:CPU executables are ISA-specific but the
+# cache key is not (see utils/compile_cache.py) — so a host move starts
+# a clean cache instead of SIGILL-ing in CLI subprocesses.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from occformer_tpu.utils.compile_cache import cpu_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+                  cpu_cache_dir(os.path.join(os.path.dirname(__file__), "..")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 

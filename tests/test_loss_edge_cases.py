@@ -333,3 +333,96 @@ def test_match_num_points_kitti_path_finite(rng):
     losses = mask2former_loss(jax.random.PRNGKey(0), cls, emb, feat, gt, cfg)
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+# ---- feature-space readout (exact identity with the volume path) -----------
+
+def test_feature_readout_equivalent_losses_and_grads(rng):
+    """feature_readout contracts embeds with sampled features instead of
+    sampling per-slot mask volumes.  Trilinear sampling is linear in the
+    voxel values, so in fp32 the losses and gradients must match the volume
+    path to rounding (the faulting [G, P] backward trilinear-scatter family
+    is replaced by one [P, C] scatter + matmuls)."""
+    import dataclasses
+
+    cfg_vol = _cfg(use_lidar=True)
+    cfg_feat = dataclasses.replace(cfg_vol, feature_readout=True)
+    cls, emb, feat = _outputs(rng)
+    gt = jnp.asarray(rng.randint(0, 4, (1, 16, 16, 8)).astype(np.int32))
+    lidar = jnp.asarray(rng.rand(1, 32, 3).astype(np.float32))
+    valid = jnp.ones((1, 32), bool)
+
+    def run(cfg, emb_, feat_):
+        return mask2former_loss(jax.random.PRNGKey(13), cls, emb_, feat_, gt,
+                                cfg, lidar_xyz=lidar, lidar_valid=valid)
+
+    lv = run(cfg_vol, emb, feat)
+    lf = run(cfg_feat, emb, feat)
+    assert set(lv) == set(lf)
+    for k in lv:
+        np.testing.assert_allclose(float(lv[k]), float(lf[k]), rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
+
+    def grads(cfg):
+        return jax.grad(lambda a: sum(run(cfg, *a).values()))((emb, feat))
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(cfg_vol)),
+                    jax.tree_util.tree_leaves(grads(cfg_feat))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_feature_readout_panoptic_composes_with_chunking(rng):
+    """feature_readout at the panoptic slot structure (100 padded GT slots),
+    composed with gt_chunks and point_chunks — the intended production
+    combination for full-density panoptic training on the axon backend."""
+    import dataclasses
+
+    from occformer_tpu.losses.mask2former_loss import preprocess_panoptic_gt
+
+    G, C = 100, 4
+    cfg_vol = dataclasses.replace(
+        _cfg(num_classes=C, use_lidar=True), panoptic=True, num_points=32,
+        oversample_ratio=2.0)
+    cfg_feat = dataclasses.replace(cfg_vol, feature_readout=True,
+                                   gt_chunks=2, point_chunks=2)
+
+    ids = np.full((1, G), -1, np.int64)
+    real = [c * 1000 + i for c in range(1, C) for i in range(4)]
+    ids[0, : len(real)] = real
+    gt = np.asarray(real, np.int64)[rng.randint(0, len(real), (1, 16, 16, 8))]
+    gt_masks, gt_labels, gt_valid = preprocess_panoptic_gt(
+        jnp.asarray(gt), jnp.asarray(ids), C)
+
+    cls, emb, feat = _outputs(rng, Q=12)
+    lidar = jnp.asarray(rng.rand(1, 48, 3).astype(np.float32))
+    lvalid = jnp.ones((1, 48), bool)
+
+    def run(cfg, emb_, feat_):
+        return mask2former_loss(
+            jax.random.PRNGKey(5), cls, emb_, feat_, jnp.asarray(gt, jnp.int32),
+            cfg, lidar_xyz=lidar, lidar_valid=lvalid,
+            gt_override=(gt_masks, gt_labels, gt_valid))
+
+    lv, lf = run(cfg_vol, emb, feat), run(cfg_feat, emb, feat)
+    for k in lv:
+        np.testing.assert_allclose(float(lv[k]), float(lf[k]), rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
+
+    def grads(cfg):
+        return jax.grad(lambda a: sum(run(cfg, *a).values()))((emb, feat))
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(cfg_vol)),
+                    jax.tree_util.tree_leaves(grads(cfg_feat))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_feature_readout_rejected_on_kitti_path(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(use_lidar=False), feature_readout=True)
+    cls, emb, feat = _outputs(rng)
+    gt = jnp.asarray(rng.randint(0, 4, (1, 8, 8, 4)).astype(np.int32))
+    with pytest.raises(ValueError, match="feature_readout"):
+        mask2former_loss(jax.random.PRNGKey(0), cls, emb, feat, gt, cfg)

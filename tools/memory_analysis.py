@@ -34,6 +34,10 @@ def main():
     p.add_argument("config", nargs="?",
                    default="occformer_tpu/configs/occformer_nusc_r50_256x704.py")
     p.add_argument("--num-points", type=int, default=None)
+    p.add_argument("--match-num-points", type=int, default=None)
+    p.add_argument("--gt-chunks", type=int, default=None)
+    p.add_argument("--point-chunks", type=int, default=None)
+    p.add_argument("--feature-readout", action="store_true")
     p.add_argument("--max-lidar", type=int, default=35000)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--accum-steps", type=int, default=1)
@@ -53,7 +57,10 @@ def main():
 
     enable_compile_cache()
     model, batch, loss_cfg, cfg = build_trial(
-        args.config, args.batch_size, args.max_lidar, args.num_points)
+        args.config, args.batch_size, args.max_lidar, args.num_points,
+        match_num_points=args.match_num_points, gt_chunks=args.gt_chunks,
+        point_chunks=args.point_chunks,
+        feature_readout=args.feature_readout or None)
 
     key = jax.random.PRNGKey(0)
     shapes = jax.eval_shape(
@@ -79,6 +86,7 @@ def main():
     gib = 2.0 ** 30
     out = {"config": os.path.basename(args.config),
            "num_points": loss_cfg.num_points,
+           "feature_readout": loss_cfg.feature_readout,
            "batch_size": args.batch_size,
            "compile_s": round(compile_s, 1)}
     if ma is None:

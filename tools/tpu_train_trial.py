@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
                 num_points=None, seed: int = 0, match_num_points=None,
-                gt_chunks=None, point_chunks=None):
+                gt_chunks=None, point_chunks=None, feature_readout=None):
     """(model, synthetic batch, loss_cfg, cfg) at a config's exact shapes.
 
     Shared by the train trial and tools/memory_analysis.py so both drive
@@ -122,6 +122,8 @@ def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
         head_cfg["gt_chunks"] = gt_chunks
     if point_chunks is not None:
         head_cfg["point_chunks"] = point_chunks
+    if feature_readout is not None:
+        head_cfg["feature_readout"] = feature_readout
     loss_cfg = build_loss_cfg(head_cfg, train_pts)
     return model, batch, loss_cfg, cfg
 
@@ -141,6 +143,10 @@ def main():
     p.add_argument("--point-chunks", type=int, default=None,
                    help="override head point_chunks (differentiated "
                         "supervision readout chunking over points)")
+    p.add_argument("--feature-readout", action="store_true",
+                   help="feature-space point readout: contract embeds with "
+                        "sampled mask features instead of sampling per-slot "
+                        "mask volumes (MaskLossConfig.feature_readout)")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--max-lidar", type=int, default=35000)
     p.add_argument("--batch-size", type=int, default=1)
@@ -161,7 +167,8 @@ def main():
     model, batch, loss_cfg, cfg = build_trial(
         args.config, args.batch_size, args.max_lidar, args.num_points,
         match_num_points=args.match_num_points, gt_chunks=args.gt_chunks,
-        point_chunks=args.point_chunks)
+        point_chunks=args.point_chunks,
+        feature_readout=args.feature_readout or None)
     lr = step_lr_schedule(1e-4, 28000, [20, 23])
 
     key = jax.random.PRNGKey(0)
@@ -195,6 +202,7 @@ def main():
         "match_num_points": loss_cfg.match_num_points,
         "gt_chunks": loss_cfg.gt_chunks,
         "point_chunks": loss_cfg.point_chunks,
+        "feature_readout": loss_cfg.feature_readout,
         "batch_size": args.batch_size,
         "accum_steps": args.accum_steps,
         "sec_per_step": round(dt, 3),
