@@ -27,26 +27,24 @@ model = dict(
         num_queries=150,
         stuff_indices=stuff_indices,
         thing_indices=thing_indices,
+        feature_readout=True,
+        point_chunks=8,
     ),
-    # Safe mode for a characterized backend kernel fault (NOTES.md panoptic
-    # bisect): differentiating the per-slot supervision sampling at
-    # [G~100 slots, 50176 points] reliably kills the device at its 2nd
-    # execution, independent of gt_chunks granularity; the same-size
-    # un-differentiated matching block is fine.  Measured frontier: stable
-    # at 37632 supervision points (0.028 s/step x4), fails at 43904.  So:
-    # matching keeps the reference's full 50176 points (bit-level recipe
-    # fidelity where it decides assignments), supervision samples 37632
-    # (75% of the reference density; still 3x-oversampled uncertainty
-    # sampling).  Restore num_points=50176 + drop match_num_points when the
-    # backend is fixed.  Chunking dodges are measured-falsified on-chip:
-    # neither gt_chunks (2/4/8) nor point_chunks=2 (per-slice backward
-    # scatter [G, 25088], inside the stable envelope) avoids the fault —
-    # it tracks the TOTAL differentiated point count, not per-op size
-    # (NOTES.md, 2026-08-18).
-    train_cfg=dict(pts=dict(
-        num_points=37632,
-        match_num_points=50176,
-    )),
+    # Full reference density (mask2former_nusc_panoptic_occ.py:25
+    # num_points=50176) via the feature-space readout: a characterized
+    # backend fault (NOTES.md panoptic bisect) kills the device at exec 2
+    # whenever the per-slot mask VOLUMES are point-sampled under
+    # differentiation at [G~100 slots, >~40k points], independent of
+    # gt/point chunk granularity.  feature_readout removes that op family
+    # from the program entirely — trilinear sampling is linear, so the loss
+    # samples the single [X, Y, Z, C] feature volume and contracts with the
+    # matched embeds (exact identity, CPU-tested losses + grads); the
+    # backward is one channel-minor scatter + matmuls.  point_chunks=8
+    # (head knob above) bounds the [g, P, C] sampled-feature temps (the
+    # unchunked readout needs 16.8G HBM > the 15.75G chip).  Measured
+    # on-chip 2026-08-19: 6 execs stable, 0.095 s/step, at full
+    # 50176/50176 density.
+    train_cfg=dict(pts=dict(num_points=50176)),
 )
 
 # pipelines swap the semantic annotation loader for the panoptic one

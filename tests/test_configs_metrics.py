@@ -78,6 +78,27 @@ def test_loss_cfg_from_configs():
     assert lk.class_weight[2] > lk.class_weight[0]  # rare class weighted up
 
 
+def test_panoptic_config_ships_full_density_feature_readout():
+    """The shipped panoptic config must train at the reference's full point
+    density (mask2former_nusc_panoptic_occ.py:25 num_points=50176) via the
+    feature-space readout — the measured-stable program on the axon backend
+    (NOTES.md 'Structural dodge', on-chip 2026-08-19).  Guards against a
+    silent regression to the retired 37632-point safe mode or to the
+    mask-volume path (exec-2 backend fault) or to an unchunked readout
+    (compile-time HBM OOM at 16.8G)."""
+    from occformer_tpu.engine.train import build_loss_cfg
+
+    cfg = load_config(os.path.join(CFG_DIR, "occformer_nusc_panoptic_r50_256x704.py"))
+    lc = build_loss_cfg(dict(cfg["model"]["pts_bbox_head"]),
+                        dict(cfg["model"]["train_cfg"]["pts"]))
+    assert lc.panoptic
+    assert lc.num_points == 50176          # full reference density
+    assert lc.match_num_points is None     # matching at full density too
+    assert lc.feature_readout              # no [G, P] scatter family
+    assert lc.point_chunks == 8            # bounds [g, P, C] gather temps
+    assert lc.gt_chunks == 2
+
+
 def test_ssc_metrics_golden():
     m = SSCMetrics(3)
     pred = np.array([[0, 1, 2, 1], [0, 0, 2, 2]])
