@@ -58,6 +58,12 @@ model = dict(
         norm_eval=False,
         out_indices=(2, 3, 4, 5, 6),
         with_cp=True,
+        # ImageNet init for training from scratch (reference
+        # occformer_kitti.py:74: mmcls classifier checkpoint, prefix keeps
+        # backbone.* keys); consumed by engine/pretrained.py at train start
+        init_cfg=dict(
+            type="Pretrained", prefix="backbone",
+            checkpoint="ckpts/efficientnet-b7_3rdparty_8xb32-aa_in1k_20220119-bf03951c.pth"),
     ),
     img_neck=dict(
         type="SECONDFPN",

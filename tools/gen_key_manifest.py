@@ -110,7 +110,7 @@ def _sd(prefix, module):
     for k, v in module.state_dict().items():
         if any(s in k for s in _REPLICA_ONLY):
             continue
-        out[f"{prefix}.{k}"] = list(v.shape)
+        out[f"{prefix}.{k}" if prefix else k] = list(v.shape)
     return out
 
 
@@ -175,6 +175,58 @@ def build_manifest(name):
     return keys
 
 
+def _fpn_neck_keys():
+    """mmdet FPN key space at FCOS3D sizes (lateral 1x1 + fpn 3x3 convs,
+    in [256,512,1024,2048] -> 256, num_outs=5 w/ one extra downsample conv).
+    These keys intentionally do NOT exist in OccupancyFormer's SECONDFPN —
+    the partial loader must skip them like mmcv strict=False does."""
+    keys = {}
+    for i, cin in enumerate((256, 512, 1024, 2048)):
+        keys[f"img_neck.lateral_convs.{i}.conv.weight"] = [256, cin, 1, 1]
+        keys[f"img_neck.lateral_convs.{i}.conv.bias"] = [256]
+        keys[f"img_neck.fpn_convs.{i}.conv.weight"] = [256, 256, 3, 3]
+        keys[f"img_neck.fpn_convs.{i}.conv.bias"] = [256]
+    keys["img_neck.fpn_convs.4.conv.weight"] = [256, 2048, 3, 3]
+    keys["img_neck.fpn_convs.4.conv.bias"] = [256]
+    return keys
+
+
+def build_init_manifest(name):
+    """Key spaces of the three TRAINING-INIT checkpoints (distinct from the
+    released fine-tuned checkpoints above):
+
+      * resnet50-0676ba61.pth — torchvision ImageNet classifier (reference
+        occformer_nusc_r50_256x704.py:66): bare ResNet keys + fc head;
+      * efficientnet-b7 mmcls classifier (occformer_kitti.py:74,
+        init_cfg prefix='backbone'): backbone.* + head.fc.*.  mmcls 'b'
+        archs merge stride-1 stages (model_scaling, reference
+        efficientnet.py:260-270), so b7 is exactly stem + 5 merged stages +
+        final conv — the classifier backbone and the kitti model's key
+        spaces coincide;
+      * r101_dcn_fcos3d_pretrain.pth (occformer_nusc_r101_896x1600.py:10,
+        whole-model load_from): img_backbone.* R101-DCN(caffe) keys that
+        partial-load, plus FPN img_neck.* keys that must be skipped.
+    """
+    if name == "init_resnet50_torchvision":
+        keys = _sd("", _ResNet(50))
+        keys["fc.weight"] = [1000, 2048]
+        keys["fc.bias"] = [1000]
+    elif name == "init_efficientnet_b7_mmcls":
+        keys = _sd("backbone", TorchEfficientNet("b7", (2, 3, 4, 5, 6)))
+        keys["head.fc.weight"] = [1000, 2560]
+        keys["head.fc.bias"] = [1000]
+    elif name == "init_r101_dcn_fcos3d":
+        keys = _sd("img_backbone", _ResNet(101, dcn_stages=(3, 4)))
+        keys.update(_fpn_neck_keys())
+    else:
+        raise ValueError(name)
+    return keys
+
+
+INIT_MANIFESTS = ("init_resnet50_torchvision", "init_efficientnet_b7_mmcls",
+                  "init_r101_dcn_fcos3d")
+
+
 def main():
     out_dir = os.path.join(REPO, "tests", "fixtures", "key_manifests")
     os.makedirs(out_dir, exist_ok=True)
@@ -185,11 +237,31 @@ def main():
         with open(path, "w") as f:
             json.dump({"checkpoint": name,
                        "source": "reference README.md:47-49 model zoo",
+                       "provenance": "RECONSTRUCTED from reference module "
+                       "trees (no .pth in this environment); re-verify "
+                       "against the real files per tools/parity_runbook.md "
+                       "step 1",
                        "num_keys": len(keys),
                        "keys": dict(sorted(keys.items()))}, f, indent=0)
         n_params = sum(1 for k in keys if "num_batches_tracked" not in k
                        and "relative_position_index" not in k)
         print(f"{name}: {len(keys)} keys ({n_params} tensors) -> {path}")
+    for name in INIT_MANIFESTS:
+        keys = build_init_manifest(name)
+        path = os.path.join(out_dir, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump({"checkpoint": name,
+                       "source": "reference training-init checkpoints "
+                       "(occformer_nusc_r50_256x704.py:66, "
+                       "occformer_kitti.py:74, "
+                       "occformer_nusc_r101_896x1600.py:10)",
+                       "provenance": "RECONSTRUCTED from torch replica "
+                       "modules (no .pth in this environment); re-verify "
+                       "against the real files per tools/parity_runbook.md "
+                       "step 1",
+                       "num_keys": len(keys),
+                       "keys": dict(sorted(keys.items()))}, f, indent=0)
+        print(f"{name}: {len(keys)} keys -> {path}")
 
 
 if __name__ == "__main__":

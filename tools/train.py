@@ -119,11 +119,31 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     variables = jax.jit(model.init)({"params": rng, "dropout": rng}, first)
 
-    # mmdet load_from: initialize model weights from a converted checkpoint
-    # ({'params','batch_stats'} tree written by tools/convert_checkpoint.py),
-    # step stays 0 (apis/mmdet_train.py:195-198).  Resume takes precedence.
+    # pretrained-backbone init, reference-recipe parity: torchvision R50
+    # (img_backbone.pretrained), mmcls EfficientNet-B7 (init_cfg=Pretrained
+    # prefix='backbone'), FCOS3D R101-DCN (load_from=<raw .pth>, partial)
+    from occformer_tpu.engine.pretrained import init_from_pretrained
+
     load_from = args.load_from or cfg.get("load_from")
-    if load_from:
+    variables, pret_reports = init_from_pretrained(
+        variables, m, load_from=load_from)
+    for preport in pret_reports:
+        if preport.get("found") is False:
+            print(f"WARNING: pretrained init {preport['source']} not found; "
+                  "keeping random init for that subtree")
+        else:
+            kept = preport.get("kept_init", [])
+            print(f"pretrained init from {preport['source']} "
+                  f"({preport['kind']}); kept_init={len(kept)}")
+            for msg in kept:
+                print("  " + msg)
+
+    # mmdet load_from on a CONVERTED orbax checkpoint: initialize full model
+    # weights ({'params','batch_stats'} tree written by
+    # tools/convert_checkpoint.py), step stays 0 (apis/mmdet_train.py:195-198).
+    # Raw torch .pth load_from is the partial-load path above; resume takes
+    # precedence over both.
+    if load_from and not str(load_from).endswith((".pth", ".pt")):
         lf = latest_checkpoint(load_from) or load_from
         if os.path.isdir(lf):
             target = {"params": variables["params"],
