@@ -30,8 +30,10 @@ model = dict(
         feature_readout=True,
         point_chunks=8,
     ),
-    # Full reference density (mask2former_nusc_panoptic_occ.py:25
-    # num_points=50176) via the feature-space readout: a characterized
+    # Full reference density (reference config
+    # occformer_nusc_panoptic_r50_256x704.py:202 num_points=12544*4, read by
+    # the head at mask2former_nusc_panoptic_occ.py:132) via the
+    # feature-space readout: a characterized
     # backend fault (NOTES.md panoptic bisect) kills the device at exec 2
     # whenever the per-slot mask VOLUMES are point-sampled under
     # differentiation at [G~100 slots, >~40k points], independent of

@@ -80,7 +80,8 @@ def test_loss_cfg_from_configs():
 
 def test_panoptic_config_ships_full_density_feature_readout():
     """The shipped panoptic config must train at the reference's full point
-    density (mask2former_nusc_panoptic_occ.py:25 num_points=50176) via the
+    density (reference config occformer_nusc_panoptic_r50_256x704.py:202
+    num_points=12544*4, read at mask2former_nusc_panoptic_occ.py:132) via the
     feature-space readout — the measured-stable program on the axon backend
     (NOTES.md 'Structural dodge', on-chip 2026-08-19).  Guards against a
     silent regression to the retired 37632-point safe mode or to the
