@@ -49,6 +49,21 @@ def main():
                          "(mask_pred[assign]; 0 = differentiate the [G,...] "
                          "volume directly)")
     ap.add_argument("--execs", type=int, default=6)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="independent readout losses summed in ONE program "
+                         "(the real train step supervises every decoder "
+                         "layer: ~10 instances of the backward scatter per "
+                         "step — the aggregate the single-op repro lacks)")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="split the point axis into K chunks with an "
+                         "optimization_barrier BETWEEN chunk losses (the "
+                         "barrier-separated point_chunks discriminator: "
+                         "forces temporal separation of the backward "
+                         "scatter regions, not just op splitting)")
+    ap.add_argument("--upstream", action="store_true",
+                    help="make the sampled volumes a conv of a parameter "
+                         "(backward scatter feeds further backward compute, "
+                         "as in the real program)")
     ap.add_argument("--fresh-coords", action="store_true",
                     help="new random coords per exec (default: bit-identical "
                          "inputs, which NOTES.md showed still fault)")
@@ -71,7 +86,7 @@ def main():
     X, Y, Z = args.grid
     G, P, Q = args.g, args.points, args.q
 
-    def loss_fn(source, assign, coords):
+    def readout(source, assign, coords):
         # mirrors the supervision readout in losses/mask2former_loss.py:
         # gather per-slot volumes from the query masks, trilinearly sample
         # them at per-slot coords, reduce.  The VJP is the suspect backward
@@ -81,9 +96,42 @@ def main():
             vols = source[assign]          # [G, X, Y, Z]
         else:
             vols = source
+        if args.chunks > 1:
+            # barrier-separated point_chunks: each chunk's loss is computed
+            # behind an optimization_barrier on the previous accumulator,
+            # forcing the backward scatter regions apart in time
+            acc = jnp.float32(0.0)
+            for ck in jnp.split(coords, args.chunks, axis=1):
+                acc = jax.lax.optimization_barrier(acc)
+                pred = point_sample_3d(vols[..., None], ck,
+                                       align_corners=False,
+                                       padding_mode="border")
+                acc = acc + jnp.sum(pred.astype(jnp.float32) ** 2)
+            return acc
         pred = point_sample_3d(vols[..., None], coords,
                                align_corners=False, padding_mode="border")
         return jnp.sum(pred.astype(jnp.float32) ** 2)
+
+    def loss_fn(source, assign, coords):
+        if args.upstream:
+            # source is a parameter; the sampled volumes are produced by
+            # on-device compute so the scatter's output cotangent feeds a
+            # further backward conv, as in the real program
+            import flax.linen as nn  # noqa: F401 (kernel below is manual)
+            k = jnp.ones((3, 3, 3, 1, 1), source.dtype) / 27.0
+            prod = jax.lax.conv_general_dilated(
+                source[..., None], k, (1, 1, 1), "SAME",
+                dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))[..., 0]
+        else:
+            prod = source
+        total = jnp.float32(0.0)
+        for r in range(args.repeats):
+            # per-decoder-layer aux supervision: same coords, distinct
+            # volume content per instance (roll, free) — args.repeats
+            # independent backward-scatter families in ONE program
+            total = total + readout(
+                jnp.roll(prod, r, axis=-1) if r else prod, assign, coords)
+        return total
 
     grad_fn = jax.jit(jax.grad(loss_fn, argnums=0))
 
@@ -97,7 +145,8 @@ def main():
     coords0 = jnp.asarray(rng.rand(G, P, 3), jnp.float32)
 
     print(json.dumps({"event": "config", "g": G, "points": P, "q": Q,
-                      "grid": [X, Y, Z],
+                      "grid": [X, Y, Z], "repeats": args.repeats,
+                      "chunks": args.chunks, "upstream": args.upstream,
                       "backend": jax.devices()[0].platform}), flush=True)
     t0 = time.time()
     ok = 0
