@@ -32,6 +32,13 @@ def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 1):
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}")
+    # a kill mid-save leaves step_N.orbax-checkpoint-tmp behind; clear
+    # stale tmp dirs so the re-save of the same step can't collide
+    import shutil
+
+    for d in os.listdir(ckpt_dir):
+        if d.endswith(".orbax-checkpoint-tmp"):
+            shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
@@ -40,10 +47,9 @@ def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 1):
         int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
         if d.startswith("step_") and d.split("_")[1].isdigit()
     )
-    import shutil
-
     for s in steps[:-max_keep]:
-        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"),
+                      ignore_errors=True)
     return path
 
 
