@@ -228,8 +228,12 @@ def main():
         "compile_secs": progress["compile_secs"],
         "step_sec_p50": round(float(np.percentile(times, 50)), 4),
         "step_sec_p95": round(float(np.percentile(times, 95)), 4),
-        "step_time_note": "per-step wall time incl. ~ms tunnel round-trip "
-                          "(blocking per step to fetch the loss)",
+        "step_time_note": "window-average wall time per step INCLUDING the "
+                          "tunnel execute round-trip, which at bad tunnel "
+                          "weather dominates (~15 s/exec serialized RPCs vs "
+                          "~0.02-0.1 s device step, NOTES.md); stability/"
+                          "loss evidence, not a device-step benchmark — "
+                          "bench.py measures step time properly",
         "loss_first": losses[0], "loss_last": losses[-1],
         "loss_first_quarter_mean": round(first_q, 4),
         "loss_last_quarter_mean": round(last_q, 4),
