@@ -60,23 +60,28 @@ def main():
     report["param_tree_sum_sec"] = round(
         _timed_fetch(lambda: jax.device_get(psum(variables)), 6), 4)
 
-    # 2. code-size scaling (distinct baked-in constants; tanh breaks folding)
+    # 2. code-size scaling.  NOTE: baking >~32 MB of constants fails with
+    # HTTP 413 at remote_compile (the tunnel ships the full HLO, constants
+    # included, in one request body) — so scale op COUNT with the weights
+    # passed as arguments instead: K unrolled tanh(x @ w_k) stages, trivial
+    # compute (K * 0.27 GFLOP), executable op count ~ K.
     rng = np.random.RandomState(0)
     x0 = jax.device_put(jnp.asarray(rng.randn(512, 512), jnp.float32))
     for K in (1, 64, 256):
-        Ws = [rng.randn(512, 512).astype(np.float32) * 0.01 for _ in range(K)]
+        Ws = jax.device_put(jnp.asarray(
+            rng.randn(K, 512, 512).astype(np.float32) * 0.01))
 
-        def big(x, Ws=Ws):
-            for w in Ws:
-                x = jnp.tanh(x @ w)
+        def big(x, Ws):
+            for k in range(Ws.shape[0]):  # unrolled: K distinct HLO ops
+                x = jnp.tanh(x @ Ws[k])
             return x.sum()
 
         jbig = jax.jit(big)
         t0 = time.time()
-        float(jax.device_get(jbig(x0)))
+        float(jax.device_get(jbig(x0, Ws)))
         compile_s = time.time() - t0
-        report[f"K{K}_const_chain_sec"] = round(
-            _timed_fetch(lambda: jax.device_get(jbig(x0)), 4), 4)
+        report[f"K{K}_unrolled_chain_sec"] = round(
+            _timed_fetch(lambda: jax.device_get(jbig(x0, Ws)), 4), 4)
         report[f"K{K}_compile_or_first_sec"] = round(compile_s, 1)
 
     # 3. flagship B=1 vs B=2
