@@ -1,18 +1,38 @@
-"""Benchmark: nuScenes R50 6x256x704 inference frames/sec on one TPU chip.
+"""Benchmark: the README perf table in ONE driver-runnable artifact.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Primary metric (driver contract): flagship nuScenes
+R50 6x256x704 inference frames(samples)/sec on one TPU chip —
+{"metric", "value", "unit", "vs_baseline"} — plus labeled secondary metrics
+(VERDICT r2 item #4): flagship_train_step_sec, kitti_b7_infer_fps,
+r101_infer_fps, analytic FLOPs + MFU (occformer_tpu/utils/flops.py — NOT
+XLA cost_analysis, which double-counts remat/fusion).
 
-Baseline: the reference publishes no FPS (SURVEY.md §6); its local benchmark
-tool (tools/analysis_tools/benchmark.py) measures ~4-5 FPS for OccFormer-R50
-on a single A100-class GPU per community reports.  We use 4.5 FPS as the
-A100 reference estimate; BASELINE.json's north star is >=2x that per chip.
-vs_baseline = measured_fps / 4.5 (so 2.0 == the north-star target).
+MEASUREMENT METHODOLOGY (round-3 correction — see NOTES.md "block_until_ready
+does not wait" and tools/bench_throughput_probe{,2,3}.py):
 
-Measurement: a pipeline of async dispatches per timed window (block on the
-last), best of several windows.  NOTE: wrapping the forward in a lax.scan to
-amortize dispatches is NOT viable on this backend — a multi-iteration loop
-over the full model runs ~500x slower than back-to-back dispatches
-(NOTES.md "loop pathology"); the dispatch pipeline is the honest measure.
+On this experimental `axon` backend ``block_until_ready`` returns after the
+RPC *ack*, NOT device completion — every timing in rounds 1-2 that relied on
+it (async dispatch pipelines, scan-amortized windows) measured dispatch rate,
+not compute (a chained 32-matmul program "ran" at 9.5 PFLOP/s).  Only a
+value FETCH (``device_get``) demonstrably forces completion.  Therefore:
+
+* every timed call returns a SCALAR CHECKSUM of its full output (keeps all
+  compute live, kills output-transfer cost) and is timed to the
+  ``device_get`` of that scalar;
+* the primary value is the honest END-TO-END rate on this backend
+  (fetch-forced, min over repeats);
+* the flagship is additionally timed at a larger batch to separate the
+  backend's per-execute overhead (intercept) from true device compute
+  (slope): ``device_marginal_fps = (B2-B1)/(t(B2)-t(B1))``.  On this
+  backend the intercept is large and program-size-dependent (probe3);
+  the slope is the hardware-representative per-sample time.
+
+vs_baseline = end_to_end_fps / 4.5 (the reference publishes no FPS;
+4.5 fps is the community A100 estimate for OccFormer-R50, SURVEY.md §6).
+
+Budget-aware: stages run in value order and each checks the remaining
+deadline first; a skipped or failed stage records a note instead of
+blocking the primary metric.  Set BENCH_FAST=1 for the primary metric only.
 """
 import json
 import os
@@ -23,13 +43,22 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 A100_BASELINE_FPS = 4.5
-WARMUP = 3
-ITERS = 30
-WINDOWS = 5
+REPEATS = 6
+BSLOPE = int(os.environ.get("BENCH_BSLOPE", 2))
 # The axon tunnel has outage stretches (NOTES.md) during which ANY device
 # call hangs with no error.  A hung bench records nothing for the round;
 # the watchdog turns that into an explicit failure line instead.
 DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", 2700))
+T0 = time.time()
+
+# bf16 dense peak by device_kind substring (jax.devices()[0].device_kind)
+PEAKS = [("v6", 918e12), ("trillium", 918e12), ("v5p", 459e12),
+         ("v5 lite", 197e12), ("v5e", 197e12), ("v5litepod", 197e12),
+         ("v4", 275e12)]
+
+
+def _remaining():
+    return DEADLINE_SECS - (time.time() - T0)
 
 
 def _arm_watchdog():
@@ -46,48 +75,255 @@ def _arm_watchdog():
         }), flush=True)
         os._exit(2)
 
-    t = threading.Timer(DEADLINE_SECS, fire)
+    t = threading.Timer(DEADLINE_SECS + 120, fire)
     t.daemon = True
     t.start()
     return t
+
+
+def _checksum(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_reduce(
+        lambda a, x: a + x.sum().astype(jnp.float32), tree, jnp.float32(0))
+
+
+def _fetch_sec(call, repeats=REPEATS):
+    """Min fetch-forced seconds per execution.  ``call()`` must return a
+    device scalar; the fetch is what forces completion on this backend."""
+    import jax
+    import numpy as np
+
+    for attempt in range(2):  # transient remote_compile HTTP failures
+        try:
+            v = float(jax.device_get(call()))
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(5)
+    assert np.isfinite(v), f"non-finite checksum {v}"
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jax.device_get(call()))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _build_infer(cfg_path, batch_size=1):
+    """(jitted scalar-checksum forward, device args, samples_per_exec) for
+    any config — same program shape as entry(): full model + final-layer
+    semantic voxel scores (the deployment output)."""
+    import jax
+
+    from occformer_tpu.models.mask2former_head import (
+        format_results, mask_logits_from_embeds)
+    from tools.tpu_train_trial import build_trial
+
+    model, batch, _, _ = build_trial(cfg_path)
+    model = model.clone(train=False)  # eval mode: frozen BN, no dropout
+    if batch_size > 1:
+        import numpy as np
+
+        batch = {k: np.concatenate([np.asarray(v)] * batch_size, axis=0)
+                 for k, v in batch.items()}
+        batch["imgs"] = batch["imgs"] + np.arange(
+            batch_size, dtype=np.float32).reshape(
+                (batch_size,) + (1,) * (batch["imgs"].ndim - 1)) * 0.01
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)({"params": key, "dropout": key}, batch)
+
+    @jax.jit
+    def fwd(v, b):
+        out = model.apply(v, b)
+        final = mask_logits_from_embeds(out["mask_embeds"][-1],
+                                        out["mask_feature"])
+        return _checksum(format_results(out["cls_preds"][-1], final))
+
+    variables, batch = jax.device_put((variables, batch))
+    return fwd, (variables, batch), batch["imgs"].shape[0]
+
+
+def _infer_fps(cfg_path, batch_size=1):
+    fwd, args, n = _build_infer(cfg_path, batch_size)
+    return n / _fetch_sec(lambda: fwd(*args)), n
+
+
+def _train_step_sec(cfg_path):
+    import jax
+    import jax.numpy as jnp
+
+    from occformer_tpu.engine.optim import build_optimizer, step_lr_schedule
+    from occformer_tpu.engine.train import TrainState, build_train_step
+    from tools.tpu_train_trial import build_trial
+
+    model, batch, loss_cfg, _ = build_trial(cfg_path)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)({"params": key, "dropout": key}, batch)
+    batch = jax.device_put(batch)
+    tx = build_optimizer(variables["params"],
+                         lr=step_lr_schedule(1e-4, 28000, [20, 23]),
+                         grad_clip=5.0)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]))
+    step_fn = jax.jit(build_train_step(model, tx, loss_cfg),
+                      donate_argnums=(0,))
+
+    holder = {"state": state}
+
+    def one():
+        holder["state"], m = step_fn(holder["state"], batch, key)
+        return m["total_loss"]  # fetching the loss forces the step
+
+    return _fetch_sec(one, repeats=4)
+
+
+def _stage_main(name):
+    """Subprocess entry: compute ONE secondary metric, print one JSON line."""
+    from occformer_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    fcfg = "occformer_tpu/configs/occformer_nusc_r50_256x704.py"
+    try:
+        if name == "flagship_train_step_sec":
+            val = _train_step_sec(fcfg)
+        elif name == "kitti_b7_infer_fps":
+            val = _infer_fps("occformer_tpu/configs/occformer_kitti.py")[0]
+        elif name == "r101_infer_fps":
+            val = _infer_fps(
+                "occformer_tpu/configs/occformer_nusc_r101_896x1600.py")[0]
+        else:
+            raise ValueError(f"unknown stage {name!r}")
+        print(json.dumps({name: round(val, 4)}), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"}), flush=True)
 
 
 def main():
     import jax
 
     watchdog = _arm_watchdog()
+    notes = []
+    extra = {}
+
+    from occformer_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from __graft_entry__ import entry
 
+    dk = jax.devices()[0].device_kind
+    extra["device_kind"] = dk
+    peak = next((p for s, p in PEAKS if s in dk.lower()), None)
+    if peak is None:
+        peak, msg = 197e12, f"unknown device_kind {dk!r}; assuming v5e peak"
+        notes.append(msg)
+    extra["peak_tflops_bf16"] = peak / 1e12
+
+    # --- primary: flagship end-to-end fetch-forced rate -------------------
     fn, (variables, batch) = entry()
-    jfn = jax.jit(fn)
+    jfn = jax.jit(lambda v, b: _checksum(fn(v, b)))
+    variables, batch = jax.device_put((variables, batch))
+    t1 = _fetch_sec(lambda: jfn(variables, batch))
+    n1 = batch["imgs"].shape[0]
+    fps = n1 / t1
+    extra["e2e_sec_per_exec"] = round(t1, 4)
 
-    # transient remote_compile HTTP failures happen over the tunnel
-    # (NOTES.md); retry the first (compiling) call once
-    for attempt in range(2):
+    fcfg = "occformer_tpu/configs/occformer_nusc_r50_256x704.py"
+    if os.environ.get("BENCH_FAST"):
+        notes.append("BENCH_FAST: secondary stages skipped")
+    else:
+        # --- batch-scaling slope: device compute vs per-execute overhead --
+        if _remaining() > 900:
+            try:
+                fwdB, argsB, nB = _build_infer(fcfg, batch_size=BSLOPE)
+                tB = _fetch_sec(lambda: fwdB(*argsB))
+                extra[f"e2e_sec_per_exec_B{BSLOPE}"] = round(tB, 4)
+                if tB > t1:
+                    slope = (tB - t1) / (nB - n1)
+                    extra["device_marginal_sec_per_sample"] = round(slope, 4)
+                    extra["device_marginal_fps"] = round(1.0 / slope, 3)
+                    if slope < t1:
+                        extra["per_exec_overhead_sec"] = round(t1 - slope, 4)
+                    else:
+                        notes.append(
+                            "batch slope >= B1 time: no fixed per-exec "
+                            "overhead — the program is compute-bound and "
+                            "batching scales super-linearly (probe3)")
+                else:
+                    notes.append(
+                        f"B{BSLOPE} not slower than B1 ({tB:.3f} vs "
+                        f"{t1:.3f}s) — slope unmeasurable this run")
+            except Exception as e:  # noqa: BLE001
+                notes.append(f"batch-slope stage failed: "
+                             f"{type(e).__name__}: {e}")
+        else:
+            notes.append("batch-slope skipped: deadline")
+
+        # --- analytic FLOPs (host-side) -> MFU ----------------------------
         try:
-            out = jfn(variables, batch)
-            out.block_until_ready()
-            break
-        except Exception:
-            if attempt == 1:
-                raise
-            time.sleep(5)
-    for _ in range(WARMUP):
-        jfn(variables, batch).block_until_ready()
+            from tools.model_analysis import analyze
 
-    # several timed windows; report the best (the tunnel to the remote chip
-    # adds occasional multi-ms stalls that aren't the model's cost)
-    best_dt = float("inf")
-    for _ in range(WINDOWS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = jfn(variables, batch)
-        out.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
+            a = analyze(fcfg, train=True, fps=fps, peak=peak)
+            for k in ("analytic_fwd_TFLOP_per_frame",
+                      "analytic_train_TFLOP_per_step"):
+                extra[k.lower()] = a[k]
+            extra["e2e_mfu"] = round(
+                a["analytic_fwd_TFLOP_per_frame"] * 1e12 * fps / peak, 4)
+            if "device_marginal_fps" in extra:
+                extra["device_marginal_mfu"] = round(
+                    a["analytic_fwd_TFLOP_per_frame"] * 1e12
+                    * extra["device_marginal_fps"] / peak, 4)
+        except Exception as e:  # noqa: BLE001
+            notes.append(f"flops stage failed: {type(e).__name__}: {e}")
 
-    frames = ITERS * batch["imgs"].shape[0]
-    fps = frames / best_dt
+        # --- secondary configs, budget-aware ------------------------------
+        # Each runs in its OWN SUBPROCESS: the flagship train step needs
+        # 13.1 of 15.75 GB HBM, so buffers still referenced by this process
+        # (primary-stage params/batches, jit caches) must be gone — process
+        # exit is the only airtight release of remote buffers, and it also
+        # isolates a stage's RESOURCE_EXHAUSTED/outage from the rest.
+        import subprocess
+
+        for name, need in (("flagship_train_step_sec", 900),
+                           ("kitti_b7_infer_fps", 700),
+                           ("r101_infer_fps", 700)):
+            if _remaining() < need:
+                notes.append(f"{name} skipped: {_remaining():.0f}s left "
+                             f"< {need}s stage budget")
+                continue
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env={**os.environ, "BENCH_STAGE": name},
+                    capture_output=True, text=True,
+                    timeout=max(need, _remaining() - 120))
+                line = [l for l in r.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                got = json.loads(line)
+                if "error" in got:
+                    notes.append(f"{name} failed: {got['error']}")
+                else:
+                    extra[name] = got[name]
+            except Exception as e:  # noqa: BLE001
+                notes.append(f"{name} failed: {type(e).__name__}: {e}")
+        if "flagship_train_step_sec" in extra and \
+                "analytic_train_tflop_per_step" in extra:
+            extra["train_e2e_mfu"] = round(
+                extra["analytic_train_tflop_per_step"] * 1e12
+                / extra["flagship_train_step_sec"] / peak, 4)
+
+    notes.append(
+        "round-3 methodology correction: block_until_ready does not wait on "
+        "this backend — rounds 1-2 fps were dispatch-rate fiction; all "
+        "timings here are fetch-forced (NOTES.md, tools/bench_throughput_"
+        "probe*.py). e2e includes the backend's per-execute overhead; "
+        "device_marginal_* is the batch-scaling slope (hardware-"
+        "representative per-sample compute).")
     watchdog.cancel()
     print(json.dumps({
         "metric": "nusc_r50_256x704_infer_frames_per_sec_per_chip",
@@ -97,9 +333,13 @@ def main():
         # ESTIMATE (see module docstring) — labeled as such
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
         "baseline_kind": "estimated_a100_4.5fps_community",
-        "ms_per_frame_device": round(1000.0 / fps, 3),
+        **extra,
+        **({"notes": notes} if notes else {}),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_STAGE"):
+        _stage_main(os.environ["BENCH_STAGE"])
+    else:
+        main()
