@@ -174,7 +174,9 @@ def main():
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     variables = jax.jit(model.init)({"params": key, "dropout": key}, batch)
-    jax.block_until_ready(variables)
+    # fetch-force: block_until_ready is a no-op on this backend (NOTES.md
+    # "ROUND-3 CORRECTION"); only a value fetch proves completion
+    jax.device_get(jax.tree_util.tree_leaves(variables)[0]).ravel()[:1]
     print(f"init: {time.time() - t0:.1f}s", flush=True)
     tx = build_optimizer(variables["params"], lr=lr, grad_clip=5.0)
     state = TrainState(
@@ -188,12 +190,14 @@ def main():
 
     t0 = time.time()
     state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics)
+    float(metrics["total_loss"])  # fetch-forced (see init note)
     print(f"first step (compile): {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
     for _ in range(args.steps):
         state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics)
+    # fetching the LAST step's loss bounds all steps (FIFO queue: probe 2
+    # measured fetch-last == fetch-all per-exec)
+    float(metrics["total_loss"])
     dt = (time.time() - t0) / args.steps
     out = {k: float(v) for k, v in metrics.items()}
     print(json.dumps({
