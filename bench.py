@@ -242,6 +242,7 @@ def main():
             try:
                 fwdB, argsB, nB = _build_infer(fcfg, batch_size=BSLOPE)
                 tB = _fetch_sec(lambda: fwdB(*argsB))
+                del fwdB, argsB  # free the B-slope device buffers
                 extra[f"e2e_sec_per_exec_B{BSLOPE}"] = round(tB, 4)
                 if tB > t1:
                     slope = (tB - t1) / (nB - n1)
@@ -287,7 +288,14 @@ def main():
         # (primary-stage params/batches, jit caches) must be gone — process
         # exit is the only airtight release of remote buffers, and it also
         # isolates a stage's RESOURCE_EXHAUSTED/outage from the rest.
+        # The parent ALSO frees its ~1.4 GB (primary + B-slope params) now:
+        # the subprocess allocates on the same chip.
+        import gc
         import subprocess
+
+        del fn, jfn, variables, batch
+        getattr(jax, "clear_caches", lambda: None)()
+        gc.collect()
 
         for name, need in (("flagship_train_step_sec", 900),
                            ("kitti_b7_infer_fps", 700),

@@ -87,6 +87,17 @@ def main():
 
         return _ck(model.apply(v, b, method=m))
 
+    def s2b(v, b):
+        def m(mod, b):
+            x = mod.image_encoder(b["imgs"].astype(mod.dtype))
+            volume, depth_prob = mod.view_transformer(
+                x, b["rots"], b["trans"], b["intrins"],
+                b["post_rots"], b["post_trans"], b["bda"])
+            return mod.bev_backbone(
+                volume.astype(mod.bev_backbone.dtype)), depth_prob
+
+        return _ck(model.apply(v, b, method=m))
+
     def s3(v, b):
         return _ck(model.apply(v, b, method="extract_feat"))
 
@@ -102,6 +113,7 @@ def main():
     prev_f = 0.0
     for name, fn in (("S1_image_encoder", s1),
                      ("S2_plus_view_transformer", s2),
+                     ("S2b_plus_bev_backbone", s2b),
                      ("S3_extract_feat", s3),
                      ("S4_full_model", s4)):
         jf = jax.jit(fn)
