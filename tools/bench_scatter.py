@@ -53,16 +53,16 @@ def main():
 
     report = {}
     for name, fn in (("fused_unsorted", current), ("sorted", sorted_path)):
-        jf = jax.jit(fn)
-        out = jf(depth, ctx, coords, valid)
-        out.block_until_ready()
+        # fetch-forced: block_until_ready is a no-op on the axon backend
+        # (NOTES.md "ROUND-3 CORRECTION") — time to the device_get of an
+        # in-program scalar checksum
+        jf = jax.jit(lambda *xs: fn(*xs).sum().astype(jnp.float32))
+        float(jax.device_get(jf(depth, ctx, coords, valid)))
         best = float("inf")
-        for _ in range(3):
+        for _ in range(max(3, args.iters)):
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = jf(depth, ctx, coords, valid)
-            out.block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / args.iters)
+            float(jax.device_get(jf(depth, ctx, coords, valid)))
+            best = min(best, time.perf_counter() - t0)
         report[name + "_ms"] = round(best * 1000, 3)
 
     # numerical agreement

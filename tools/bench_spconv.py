@@ -58,15 +58,18 @@ def main():
               "occupancy": round(args.sites / (grid[0] * grid[1] * grid[2]), 5)}
 
     def bench(fn, *xs):
+        # fetch-forced: block_until_ready is a no-op on the axon backend
+        # (NOTES.md "ROUND-3 CORRECTION"); checksum fetch forces execution
         jf = jax.jit(fn)
-        out = jax.block_until_ready(jf(*xs))
+        jck = jax.jit(lambda *xs: jax.tree_util.tree_reduce(
+            lambda a, x: a + x.sum().astype(jnp.float32), fn(*xs),
+            jnp.float32(0)))
+        out = jf(*xs)  # values for the agreement check
         best = float("inf")
-        for _ in range(3):
+        for _ in range(max(3, args.iters)):
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = jf(*xs)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / args.iters)
+            float(jax.device_get(jck(*xs)))
+            best = min(best, time.perf_counter() - t0)
         return best * 1000, out
 
     outs = {}
