@@ -17,11 +17,15 @@ import jax
 class StageTimer:
     """Accumulating stage timer with device-sync boundaries.
 
+    CAUTION (axon backend): `block_until_ready` returns on RPC ack, not
+    device completion (NOTES.md "ROUND-3 CORRECTION") — inside a stage,
+    force completion with `jax.device_get` of a small result instead.
+
     Usage:
         timer = StageTimer()
         with timer.stage("img_encoder"):
             feats = jitted_encoder(...)
-            jax.block_until_ready(feats)
+            jax.device_get(feats[0].ravel()[0])  # fetch-force
         print(timer.report())
     """
 
