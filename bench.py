@@ -173,13 +173,43 @@ def _train_step_sec(cfg_path):
     step_fn = jax.jit(build_train_step(model, tx, loss_cfg),
                       donate_argnums=(0,))
 
+    # keep a host copy: the state is DONATED per step, so if a dispatch
+    # raises after donation the retry in _fetch_sec would otherwise run on
+    # an invalidated buffer (ADVICE r3) — rebuild from host instead.
+    import numpy as np
+
+    host_state = jax.tree.map(np.asarray, state)
     holder = {"state": state}
 
     def one():
-        holder["state"], m = step_fn(holder["state"], batch, key)
+        try:
+            holder["state"], m = step_fn(holder["state"], batch, key)
+        except Exception:
+            holder["state"] = jax.device_put(host_state)
+            raise
         return m["total_loss"]  # fetching the loss forces the step
 
     return _fetch_sec(one, repeats=4)
+
+
+_STAGE_PROGRAMS = {
+    "flagship_train_step_sec": (
+        "full train step (fwd+bwd+AdamW) of occformer_nusc_r50_256x704, "
+        "B=1, loss fetched, donate+host-rebuild-on-retry"),
+    "kitti_b7_infer_fps": (
+        "full inference fwd of occformer_kitti (EffB7 1x384x1280), "
+        "scalar checksum fetched"),
+    "r101_infer_fps": (
+        "full inference fwd of occformer_nusc_r101_896x1600 (6 cams), "
+        "scalar checksum fetched"),
+}
+
+
+def _prov(program, repeats):
+    return {"program": program,
+            "method": f"min of {repeats} fetch-forced device_get timings, "
+                      "fresh subprocess per stage",
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
 
 
 def _stage_main(name):
@@ -190,15 +220,17 @@ def _stage_main(name):
     fcfg = "occformer_tpu/configs/occformer_nusc_r50_256x704.py"
     try:
         if name == "flagship_train_step_sec":
-            val = _train_step_sec(fcfg)
+            val, rep = _train_step_sec(fcfg), 4
         elif name == "kitti_b7_infer_fps":
-            val = _infer_fps("occformer_tpu/configs/occformer_kitti.py")[0]
+            val, rep = _infer_fps("occformer_tpu/configs/occformer_kitti.py")[0], REPEATS
         elif name == "r101_infer_fps":
-            val = _infer_fps(
-                "occformer_tpu/configs/occformer_nusc_r101_896x1600.py")[0]
+            val, rep = _infer_fps(
+                "occformer_tpu/configs/occformer_nusc_r101_896x1600.py")[0], REPEATS
         else:
             raise ValueError(f"unknown stage {name!r}")
-        print(json.dumps({name: round(val, 4)}), flush=True)
+        print(json.dumps({name: round(val, 4),
+                          "provenance": _prov(_STAGE_PROGRAMS[name], rep)}),
+              flush=True)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"error": f"{type(e).__name__}: {e}"}), flush=True)
 
@@ -209,6 +241,7 @@ def main():
     watchdog = _arm_watchdog()
     notes = []
     extra = {}
+    provenance = {}
 
     from occformer_tpu.utils.compile_cache import enable_compile_cache
 
@@ -232,6 +265,9 @@ def main():
     n1 = batch["imgs"].shape[0]
     fps = n1 / t1
     extra["e2e_sec_per_exec"] = round(t1, 4)
+    provenance["nusc_r50_256x704_infer_frames_per_sec_per_chip"] = _prov(
+        "__graft_entry__.entry() flagship inference fwd, B=1, scalar "
+        "checksum of final-layer voxel scores", REPEATS)
 
     fcfg = "occformer_tpu/configs/occformer_nusc_r50_256x704.py"
     if os.environ.get("BENCH_FAST"):
@@ -244,6 +280,9 @@ def main():
                 tB = _fetch_sec(lambda: fwdB(*argsB))
                 del fwdB, argsB  # free the B-slope device buffers
                 extra[f"e2e_sec_per_exec_B{BSLOPE}"] = round(tB, 4)
+                provenance[f"e2e_sec_per_exec_B{BSLOPE}"] = _prov(
+                    f"same flagship fwd at B={BSLOPE} (inputs perturbed "
+                    "per-sample), same process as B=1", REPEATS)
                 if tB > t1:
                     slope = (tB - t1) / (nB - n1)
                     extra["device_marginal_sec_per_sample"] = round(slope, 4)
@@ -317,6 +356,8 @@ def main():
                     notes.append(f"{name} failed: {got['error']}")
                 else:
                     extra[name] = got[name]
+                    if "provenance" in got:
+                        provenance[name] = got["provenance"]
             except Exception as e:  # noqa: BLE001
                 notes.append(f"{name} failed: {type(e).__name__}: {e}")
         if "flagship_train_step_sec" in extra and \
@@ -342,6 +383,7 @@ def main():
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
         "baseline_kind": "estimated_a100_4.5fps_community",
         **extra,
+        "provenance": provenance,
         **({"notes": notes} if notes else {}),
     }))
 

@@ -33,12 +33,19 @@ def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 1):
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}")
     # a kill mid-save leaves step_N.orbax-checkpoint-tmp behind; clear
-    # stale tmp dirs so the re-save of the same step can't collide
+    # stale tmp dirs so the re-save of the same step can't collide.  Only
+    # process 0 sweeps (under multi-host every process calls save on the
+    # shared dir — a peer must not rmtree an in-flight tmp), and match by
+    # substring like orbax's own atomicity code (some orbax versions append
+    # a timestamp after the suffix).
     import shutil
 
-    for d in os.listdir(ckpt_dir):
-        if d.endswith(".orbax-checkpoint-tmp"):
-            shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+    import jax
+
+    if jax.process_index() == 0:
+        for d in os.listdir(ckpt_dir):
+            if ".orbax-checkpoint-tmp" in d:
+                shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()

@@ -47,9 +47,19 @@ def _fuse_one(conv_p: Dict, bn_p: Dict, bn_s: Dict, eps: float) -> None:
     bn_s["BatchNorm_0"]["var"] = np.full_like(var, 1.0 - eps)
 
 
-def fuse_conv_bn(variables: Dict, eps: float = 1e-5
-                 ) -> Tuple[Dict, List[str]]:
-    """Return (fused variables, list of fused 'path/conv<->bn' pairs).
+def fuse_conv_bn(variables: Dict, eps=1e-5
+                 ) -> Tuple[Dict, List[str], List[str]]:
+    """Return (fused variables, fused 'path/conv<->bn' pairs, unpaired names).
+
+    ``eps`` is the BN epsilon used to fold the statistics.  The exact-add
+    identity (var set to 1-eps) only holds when it matches the MODULE's BN
+    epsilon, so it may be a float (applied to every pair) or a dict mapping
+    a path substring to a float (e.g. {"": 1e-5, "img_backbone": 1e-3});
+    the longest matching substring wins per pair.
+
+    ``unpaired`` lists conv modules whose expected BN sibling was missing
+    (left untouched) — callers exporting fusion-complete checkpoints should
+    check it is empty for their model family.
 
     Input trees are deep-copied; arrays are replaced with numpy (host)
     values.  Only eval-mode inference is valid afterwards — training on a
@@ -59,8 +69,19 @@ def fuse_conv_bn(variables: Dict, eps: float = 1e-5
 
     import flax
 
+    eps_map = eps if isinstance(eps, dict) else {"": float(eps)}
+    assert "" in eps_map, "eps dict needs a '' default entry"
+
+    def eps_for(path: str) -> float:
+        best = ""
+        for k in eps_map:
+            if k and k in path and len(k) > len(best):
+                best = k
+        return float(eps_map[best])
+
     variables = copy.deepcopy(flax.core.unfreeze(variables))
     fused: List[str] = []
+    unpaired: List[str] = []
 
     def walk(params: Dict, stats: Dict, path: str) -> None:
         for name in sorted(params):
@@ -74,10 +95,12 @@ def fuse_conv_bn(variables: Dict, eps: float = 1e-5
                 if (isinstance(bn_p, dict) and "BatchNorm_0" in bn_p
                         and isinstance(bn_s, dict)
                         and "BatchNorm_0" in bn_s):
-                    _fuse_one(sub, bn_p, bn_s, eps)
+                    _fuse_one(sub, bn_p, bn_s, eps_for(f"{path}/{name}"))
                     fused.append(f"{path}/{name}<->{bn_name}")
+                else:
+                    unpaired.append(f"{path}/{name}")
                 continue
             walk(sub, (stats or {}).get(name), f"{path}/{name}")
 
     walk(variables.get("params", {}), variables.get("batch_stats", {}), "")
-    return variables, fused
+    return variables, fused, unpaired

@@ -22,7 +22,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import grid_sample_3d, grid_sample_3d_cfirst
+from ..ops.trilerp import trilerp_gather_slab
 from .layers import Linear
+
+
+def resolve_gather_impl(gather_impl: str) -> str:
+    """'auto' -> the MXU Pallas kernel on TPU, the XLA path elsewhere.
+
+    'mxu' / 'xla' force a path; 'mxu_interpret' runs the Pallas kernel in
+    interpreter mode (CPU test coverage of the real hot-path code,
+    SURVEY §4 implication (1))."""
+    if gather_impl == "auto":
+        return "mxu" if jax.default_backend() == "tpu" else "xla"
+    assert gather_impl in ("mxu", "xla", "mxu_interpret"), gather_impl
+    return gather_impl
 
 
 def deform_attn_offset_bias_init(num_heads: int, num_levels: int, num_points: int) -> np.ndarray:
@@ -50,6 +63,10 @@ class MultiScaleDeformableAttention3D(nn.Module):
     # padded temps are live during the backward pass — the lever that lets
     # the R101-DCN 896x1600 config train on a 16G chip.  1 = off.
     query_chunks: int = 1
+    # trilinear-gather backend: 'auto' | 'mxu' | 'xla' | 'mxu_interpret'.
+    # 'mxu' is the Pallas one-hot kernel (ops/trilerp.py) — the round-4 fix
+    # for the serial XLA gather that was 95% of the flagship frame.
+    gather_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -88,16 +105,27 @@ class MultiScaleDeformableAttention3D(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )  # [B, Nq, H, L, P, 3] in [0, 1]
 
-        # per level: gather with (batch*head) as gather batch, features-first
-        # layout so head_dim (small, e.g. 24) sits in the sublane dim — the
-        # channels-last layout padded every corner gather ~5x on TPU
+        impl = resolve_gather_impl(self.gather_impl)
+        interp = impl == "mxu_interpret"
+        use_mxu = impl in ("mxu", "mxu_interpret")
+
+        # per level: gather with (batch*head) as gather batch.  MXU kernel
+        # path: slab layout [B*H, X*Y, Z*hd] (xy rows, z-major lanes).  XLA
+        # path: features-first [B*H, hd, n] so head_dim (small, e.g. 24)
+        # stays out of the minor (lane) dim.
         value_heads = value.reshape(B, Nv, H, hd)
         v_levels = []
         start = 0
         for (X, Y, Z) in spatial_shapes:
             n = X * Y * Z
             v_l = value_heads[:, start : start + n]  # [B, n, H, hd]
-            v_levels.append(v_l.transpose(0, 2, 3, 1).reshape(B * H, hd, n))
+            if use_mxu:
+                v_levels.append(
+                    v_l.reshape(B, X, Y, Z, H, hd)
+                    .transpose(0, 4, 1, 2, 3, 5)
+                    .reshape(B * H, X * Y, Z * hd))
+            else:
+                v_levels.append(v_l.transpose(0, 2, 3, 1).reshape(B * H, hd, n))
             start += n
 
         def sample(locs_flat, weights_flat):
@@ -116,10 +144,16 @@ class MultiScaleDeformableAttention3D(nn.Module):
                 # [0,1] -> [-1,1], align_corners=False (torch grid_sample parity)
                 g = locs_c[:, :, :, l] * 2.0 - 1.0  # [B, nq, H, P, 3]
                 g = g.transpose(0, 2, 1, 3, 4).reshape(B * H, nq * P, 3)
-                s = grid_sample_3d_cfirst(
-                    v_levels[l], (X, Y, Z), g, align_corners=False,
-                    padding_mode="zeros", compute_dtype=self.dtype,
-                )  # [B*H, hd, nq*P]
+                if use_mxu:
+                    s = trilerp_gather_slab(
+                        v_levels[l], (X, Y, Z), hd, g, align_corners=False,
+                        interpret=interp,
+                    )  # [B*H, hd, nq*P]
+                else:
+                    s = grid_sample_3d_cfirst(
+                        v_levels[l], (X, Y, Z), g, align_corners=False,
+                        padding_mode="zeros", compute_dtype=self.dtype,
+                    )  # [B*H, hd, nq*P]
                 s = s.reshape(B, H, hd, nq, P)
                 w = weights_c[:, :, :, l].transpose(0, 2, 1, 3)  # [B, H, nq, P]
                 # keep the weighted sum in compute dtype: the contraction is

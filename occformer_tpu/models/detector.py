@@ -118,6 +118,7 @@ def translate_cfg(cfg: Dict, train: bool, dtype) -> Tuple[Any, Dict]:
             pos_num_feats=int(cfg.get("positional_encoding", {}).get("num_feats", 0)) or None,
             num_groups=(cfg.get("norm_cfg") or {}).get("num_groups", 32),
             query_chunks=cfg.get("query_chunks", 1),
+            gather_impl=cfg.get("gather_impl", "auto"),
         )
         return MSDeformAttnPixelDecoder3D, kwargs
     if t in ("Mask2FormerOccHead", "Mask2FormerNuscOccHead",

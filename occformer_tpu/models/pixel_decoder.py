@@ -55,6 +55,7 @@ class DeformableEncoderLayer(nn.Module):
     feedforward_channels: int
     spatial_shapes: Any = None
     query_chunks: int = 1
+    gather_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,7 +63,7 @@ class DeformableEncoderLayer(nn.Module):
         y = MultiScaleDeformableAttention3D(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=self.num_levels, num_points=self.num_points,
-            query_chunks=self.query_chunks,
+            query_chunks=self.query_chunks, gather_impl=self.gather_impl,
             dtype=self.dtype, name="attn",
         )(x, x, reference_points, self.spatial_shapes, query_pos=pos)
         y = LayerNorm(dtype=self.dtype, name="norm1")(y)
@@ -94,6 +95,7 @@ class MSDeformAttnPixelDecoder3D(nn.Module):
     # sequential remat chunks for the deform-attn queries (memory lever for
     # training big configs; see MultiScaleDeformableAttention3D.query_chunks)
     query_chunks: int = 1
+    gather_impl: str = "auto"
     dtype: Any = jnp.float32
     # config-parity extras (ignored: structure is derived from them upstream)
     encoder: Any = None
@@ -142,7 +144,7 @@ class MSDeformAttnPixelDecoder3D(nn.Module):
                 embed_dims=C, num_heads=self.num_heads, num_levels=n_enc,
                 num_points=self.num_points, feedforward_channels=ffc,
                 spatial_shapes=tuple(shapes), query_chunks=self.query_chunks,
-                dtype=self.dtype,
+                gather_impl=self.gather_impl, dtype=self.dtype,
                 name=f"layer{li}",
             )(x, pos_all, ref)
 

@@ -1,0 +1,331 @@
+"""Pallas TPU kernel for the deformable-attention trilinear gather.
+
+The hot op of the whole framework: MSDeformAttn3D samples each value level at
+``S = Nq * num_points`` continuous 3D locations per (batch x head), 8 corners
+each (reference: projects/mmdet3d_plugin/occformer/necks/
+multi_scale_deform_attn_3d.py:62-67, ``F.grid_sample`` trilinear).  XLA lowers
+the equivalent ``jnp.take_along_axis`` to an effectively serial per-element
+load (~2 GB/s measured, .probe_pallas.json), which made the pixel decoder 95%
+of the flagship frame in round 3.
+
+TPU-native formulation: a gather IS a sparse matmul, and the xy-plane of one
+level is small (64x64 = 4096 rows), so we make it dense and feed the MXU:
+
+  * the value level is laid out as a slab ``[XY, Z*C]`` (xy-rows, z-major
+    lanes) that fits VMEM (level 0: 4096 x 192 bf16 = 1.5 MB);
+  * per block of 256 samples, build the 4-corner xy interpolation matrix
+    ``onehot[S_blk, XY]`` on the VPU (iota-compare against the base corner
+    index: the 4 nonzeros sit at ``a + {0, 1, Y, Y+1}``; out-of-range corners
+    carry zero weight, so unclamped arithmetic plus weight masks is exact —
+    any clamp-alias lands on a zero weight);
+  * ``onehot @ slab`` on the MXU does gather + xy-lerp in one shot
+    -> ``[S_blk, Z*C]``;
+  * z-lerp is a lane-group mask (lane//C == z0 etc.) followed by a tiny
+    constant block-sum matmul ``[Z*C, C]``.
+
+The backward (custom VJP) reuses the same structure: d_slab flows back
+through two more MXU matmuls (one for d_table, one for the per-corner weight
+grads), so sampling-location gradients (learned offsets!) are exact.
+
+Semantics: torch ``grid_sample(..., padding_mode='zeros')`` with the repo's
+coordinate convention (coords[..., i] indexes spatial axis i, [-1, 1]
+normalized) — bit-compatible with ``sampling.grid_sample_3d_cfirst`` up to
+f32-vs-bf16 accumulation order (the kernel accumulates corners in f32 on the
+MXU; the XLA path adds 8 bf16 corner terms).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import _unnormalize
+
+# meta rows (f32, all integer-valued rows exact in f32):
+#   0: a   = x0 * Y + y0, UNCLAMPED base xy corner index (may be negative /
+#            out of range; only zero-weight corners alias, see module doc)
+#   1: z0  = floor z index, unclamped
+#   2..5: w00, w01, w10, w11  xy corner weights (lerp x mask products)
+#   6..7: c0, c1              z corner weights ((1-wz)*mz0, wz*mz1)
+_META_ROWS = 8
+
+
+def make_trilerp_meta(coords: jnp.ndarray, spatial: Tuple[int, int, int],
+                      align_corners: bool = False) -> jnp.ndarray:
+    """coords [G, S, 3] in [-1, 1] -> meta [G, 8, S] f32 (see row table above).
+
+    Differentiable w.r.t. coords (the fractional lerp weights carry the
+    location gradient; floor/masks are zero-grad, matching grid_sample).
+    """
+    X, Y, Z = spatial
+    wt = jnp.float32
+    cx = _unnormalize(coords[..., 0].astype(wt), X, align_corners)
+    cy = _unnormalize(coords[..., 1].astype(wt), Y, align_corners)
+    cz = _unnormalize(coords[..., 2].astype(wt), Z, align_corners)
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    z0 = jnp.floor(cz)
+    wx = cx - x0
+    wy = cy - y0
+    wz = cz - z0
+
+    def valid(v, n):
+        return ((v >= 0) & (v <= n - 1)).astype(wt)
+
+    mx0, mx1 = valid(x0, X), valid(x0 + 1, X)
+    my0, my1 = valid(y0, Y), valid(y0 + 1, Y)
+    mz0, mz1 = valid(z0, Z), valid(z0 + 1, Z)
+    w00 = (1 - wx) * (1 - wy) * mx0 * my0
+    w01 = (1 - wx) * wy * mx0 * my1
+    w10 = wx * (1 - wy) * mx1 * my0
+    w11 = wx * wy * mx1 * my1
+    c0 = (1 - wz) * mz0
+    c1 = wz * mz1
+    a = x0 * Y + y0
+    return jnp.stack([a, z0, w00, w01, w10, w11, c0, c1], axis=1)
+
+
+def _onehot_xy(mt, Y: int, XY: int, dtype):
+    """mt [S_blk, 8] f32 -> xy interpolation matrix [S_blk, XY] in ``dtype``.
+
+    Built in f32 and cast once: a 16-bit select with a [S_blk, 1]-broadcast
+    operand hits a Mosaic relayout bug ("Non-singleton logical dimension is
+    replicated in destination but not in source", vector<...xi1>), while the
+    f32 build compiles and the single cast is cheap.
+    """
+    a = mt[:, 0:1]
+    # Mosaic iota must be integer-typed; the compare runs in f32 because the
+    # base index can exceed int32 range for far-out-of-volume samples
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, XY), 1).astype(jnp.float32)
+    d = iota - a  # [S_blk, XY]
+    oh = (
+        jnp.where(d == 0.0, mt[:, 2:3], 0.0)
+        + jnp.where(d == 1.0, mt[:, 3:4], 0.0)
+        + jnp.where(d == float(Y), mt[:, 4:5], 0.0)
+        + jnp.where(d == float(Y + 1), mt[:, 5:6], 0.0)
+    )
+    return oh.astype(dtype)
+
+
+def _zmask(mt, Z: int, C: int):
+    """mt [S_blk, 8] f32 -> z lerp mask [S_blk, Z*C] f32 (lane group == z)."""
+    z0 = mt[:, 1:2]
+    zg = (jax.lax.broadcasted_iota(jnp.int32, (1, Z * C), 1) // C).astype(
+        jnp.float32)
+    return (jnp.where(zg == z0, mt[:, 6:7], 0.0)
+            + jnp.where(zg == z0 + 1.0, mt[:, 7:8], 0.0))
+
+
+def _gsum(Z: int, C: int, dtype=jnp.float32):
+    """Constant block-sum matrix [Z*C, C]: sums the Z lane groups."""
+    gi = jax.lax.broadcasted_iota(jnp.int32, (Z * C, C), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (Z * C, C), 1)
+    return (gi % C == gj).astype(dtype)
+
+
+def _fwd_kernel(meta_ref, table_ref, out_ref, *, Y, Z, C, XY, prec):
+    mt = jnp.transpose(meta_ref[0])  # [S_blk, 8] f32
+    tbl = table_ref[0]               # [XY, Z*C]
+    oh = _onehot_xy(mt, Y, XY, tbl.dtype)
+    slab = jax.lax.dot_general(
+        oh, tbl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk, Z*C]
+    masked = slab * _zmask(mt, Z, C)
+    out = jax.lax.dot_general(
+        masked, _gsum(Z, C), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk, C]
+    out_ref[0] = jnp.transpose(out).astype(out_ref.dtype)
+
+
+def _bwd_kernel(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
+                *, Y, Z, C, XY, prec):
+    s = pl.program_id(1)
+    mt = jnp.transpose(meta_ref[0])                      # [S_blk, 8]
+    tbl = table_ref[0].astype(jnp.float32)               # [XY, Z*C]
+    g = jnp.transpose(gout_ref[0]).astype(jnp.float32)   # [S_blk, C]
+    zm = _zmask(mt, Z, C)                                # [S_blk, Z*C]
+    oh = _onehot_xy(mt, Y, XY, jnp.float32)              # [S_blk, XY]
+    # d_masked: g broadcast over the Z lane groups (z-major repeat)
+    d_masked = jnp.concatenate([g] * Z, axis=1)          # [S_blk, Z*C]
+    d_slab = d_masked * zm
+
+    # d_table += oh^T @ d_slab, accumulated across sample blocks
+    dt = jax.lax.dot_general(
+        oh, d_slab, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [XY, Z*C]
+
+    @pl.when(s == 0)
+    def _():
+        dtab_ref[0] = dt
+
+    @pl.when(s != 0)
+    def _():
+        dtab_ref[0] += dt
+
+    # per-corner xy weight grads: M2[s, xy] = sum_zc d_slab * T
+    m2 = jax.lax.dot_general(
+        d_slab, tbl, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk, XY]
+    a = mt[:, 0:1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, XY), 1).astype(jnp.float32)
+    d = iota - a
+
+    def pick(v):
+        return jnp.sum(jnp.where(d == v, m2, 0.0), axis=1, keepdims=True)
+
+    dw00, dw01 = pick(0.0), pick(1.0)
+    dw10, dw11 = pick(float(Y)), pick(float(Y + 1))
+
+    # z weight grads need the forward slab
+    slab = jax.lax.dot_general(
+        oh, tbl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    t1 = slab * d_masked
+    z0 = mt[:, 1:2]
+    zg = (jax.lax.broadcasted_iota(jnp.int32, (1, Z * C), 1) // C).astype(
+        jnp.float32)
+    dc0 = jnp.sum(jnp.where(zg == z0, t1, 0.0), axis=1, keepdims=True)
+    dc1 = jnp.sum(jnp.where(zg == z0 + 1.0, t1, 0.0), axis=1, keepdims=True)
+
+    zr = jnp.zeros_like(dw00)  # a, z0 rows: integer, no gradient
+    dmeta = jnp.concatenate(
+        [zr, zr, dw00, dw01, dw10, dw11, dc0, dc1], axis=1)  # [S_blk, 8]
+    dmeta_ref[0] = jnp.transpose(dmeta)
+
+
+# Pallas imports live below the pure-jnp helpers so the module stays
+# importable even if jax.experimental.pallas moves (CPU test envs).
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def _build_op(X: int, Y: int, Z: int, C: int, s_block: int, interpret: bool,
+              highp: bool):
+    XY = X * Y
+    ZC = Z * C
+    # f32 tables (tests, fp32-islands configs): force 6-pass MXU f32 — the
+    # default single bf16 pass showed ~1e-2 relative error on-chip.  bf16
+    # tables keep the fast default (the XLA reference path is bf16 anyway).
+    prec = jax.lax.Precision.HIGHEST if highp else jax.lax.Precision.DEFAULT
+
+    # the backward holds ~3 [S_blk, XY] f32 surfaces plus two [XY, ZC]
+    # accumulators in VMEM at once — past the 16M default scoped limit at
+    # flagship level-0 shapes.  v5e VMEM is 128M/core; raise the cap.
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 2 ** 20)
+
+    def call_fwd(table, meta):
+        G, _, Sp = meta.shape
+        grid = (G, Sp // s_block)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, Y=Y, Z=Z, C=C, XY=XY, prec=prec),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _META_ROWS, s_block),
+                             lambda g, s: (g, 0, s)),
+                pl.BlockSpec((1, XY, ZC), lambda g, s: (g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, C, s_block), lambda g, s: (g, 0, s)),
+            out_shape=jax.ShapeDtypeStruct((G, C, Sp), table.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(meta, table)
+
+    def call_bwd(table, meta, gout):
+        G, _, Sp = meta.shape
+        grid = (G, Sp // s_block)
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, Y=Y, Z=Z, C=C, XY=XY, prec=prec),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _META_ROWS, s_block),
+                             lambda g, s: (g, 0, s)),
+                pl.BlockSpec((1, XY, ZC), lambda g, s: (g, 0, 0)),
+                pl.BlockSpec((1, C, s_block), lambda g, s: (g, 0, s)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, XY, ZC), lambda g, s: (g, 0, 0)),
+                pl.BlockSpec((1, _META_ROWS, s_block),
+                             lambda g, s: (g, 0, s)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(table.shape, jnp.float32),
+                jax.ShapeDtypeStruct(meta.shape, jnp.float32),
+            ],
+            compiler_params=params,
+            interpret=interpret,
+        )(meta, table, gout)
+
+    @jax.custom_vjp
+    def op(table, meta):
+        return call_fwd(table, meta)
+
+    def op_fwd(table, meta):
+        return call_fwd(table, meta), (table, meta)
+
+    def op_bwd(res, gout):
+        table, meta = res
+        dtab, dmeta = call_bwd(table, meta, gout)
+        return dtab.astype(table.dtype), dmeta
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def trilerp_gather_slab(
+    table: jnp.ndarray,
+    spatial: Tuple[int, int, int],
+    channels: int,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    *,
+    s_block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Trilinear zeros-padding sampling via the MXU one-hot kernel.
+
+    table:  [G, X*Y, Z*C] value slab (xy rows, z-major lane groups of C)
+    coords: [G, S, 3] in [-1, 1], coords[..., i] indexes spatial axis i
+    Returns [G, C, S] in table.dtype (f32 corner accumulation inside).
+    """
+    X, Y, Z = spatial
+    G, XY, ZC = table.shape
+    assert XY == X * Y and ZC == Z * channels, (table.shape, spatial, channels)
+    S = coords.shape[1]
+    meta = make_trilerp_meta(coords, spatial, align_corners)
+    Sp = -(-S // s_block) * s_block
+    if Sp != S:
+        meta = jnp.pad(meta, ((0, 0), (0, 0), (0, Sp - S)))
+    op = _build_op(X, Y, Z, channels, s_block, interpret,
+                   table.dtype == jnp.float32)
+    out = op(table, meta)
+    return out[:, :, :S] if Sp != S else out
+
+
+def cfirst_to_slab(vol_flat: jnp.ndarray,
+                   spatial: Tuple[int, int, int]) -> jnp.ndarray:
+    """[G, C, X*Y*Z] (channels-first flat, xyz-major) -> [G, X*Y, Z*C] slab."""
+    X, Y, Z = spatial
+    G, C, N = vol_flat.shape
+    assert N == X * Y * Z
+    v = vol_flat.reshape(G, C, X * Y, Z)
+    return jnp.transpose(v, (0, 2, 3, 1)).reshape(G, X * Y, Z * C)
+
+
+def grid_sample_3d_cfirst_mxu(
+    vol_flat: jnp.ndarray,
+    spatial: Tuple[int, int, int],
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    *,
+    s_block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ``sampling.grid_sample_3d_cfirst`` (zeros padding only)."""
+    C = vol_flat.shape[1]
+    slab = cfirst_to_slab(vol_flat, spatial)
+    return trilerp_gather_slab(slab, spatial, C, coords, align_corners,
+                               s_block=s_block, interpret=interpret)

@@ -87,9 +87,12 @@ def _walk(jaxpr, counts: Dict[str, int], notes: list) -> None:
         elif name == "while":
             sub = {"dot": 0, "conv": 0, "scatter": 0}
             _walk(eqn.params["body_jaxpr"].jaxpr, sub, notes)
+            # a compute-bearing cond (e.g. a convergence check with a
+            # reduction/matmul) must not be silently dropped
+            _walk(eqn.params["cond_jaxpr"].jaxpr, sub, notes)
             if any(sub.values()):
                 notes.append(
-                    f"while_loop body counted once ({sum(sub.values())} "
+                    f"while_loop body+cond counted once ({sum(sub.values())} "
                     "flops); trip count is data-dependent")
             for k, v in sub.items():
                 counts[k] += v

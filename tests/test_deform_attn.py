@@ -123,3 +123,45 @@ def test_query_chunking_matches_unchunked():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g5)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.quick
+def test_gather_impl_mxu_matches_xla():
+    """The Pallas MXU gather (interpret mode on CPU) must match the XLA
+    path through the full deform-attn module, values AND parameter/input
+    gradients — this is the round-4 hot-path kernel guard (VERDICT r3 #6)."""
+    B, C, H = 1, 24, 4
+    shapes = ((4, 4, 2), (2, 2, 1))
+    Nv = sum(x * y * z for x, y, z in shapes)
+    Nq = 37
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(B, Nq, C), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Nv, C), jnp.float32)
+    ref = jnp.asarray(rng.uniform(0.05, 0.95, (B, Nq, len(shapes), 3)),
+                      jnp.float32)
+
+    mx = MultiScaleDeformableAttention3D(
+        embed_dims=C, num_heads=H, num_levels=2, num_points=3,
+        gather_impl="xla")
+    mm = MultiScaleDeformableAttention3D(
+        embed_dims=C, num_heads=H, num_levels=2, num_points=3,
+        gather_impl="mxu_interpret")
+    variables = mx.init(jax.random.PRNGKey(0), q, v, ref, shapes)
+    ox = mx.apply(variables, q, v, ref, shapes)
+    om = mm.apply(variables, q, v, ref, shapes)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(om),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(params, mod, qq):
+        return jnp.sum(jnp.sin(mod.apply({"params": params}, qq, v, ref,
+                                         shapes)))
+
+    gx = jax.grad(loss, (0, 2))(variables["params"], mx, q)
+    gm = jax.grad(loss, (0, 2))(variables["params"], mm, q)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

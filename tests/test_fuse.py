@@ -26,7 +26,7 @@ def test_resnet_fused_outputs_match():
         dict(variables))
 
     ref = model.apply(variables, x)
-    fused, pairs = fuse_conv_bn(variables)
+    fused, pairs, unpaired = fuse_conv_bn(variables)
     # ResNet-18: stem + 8 blocks x 2 convs + 3 downsamples = 20 pairs
     assert len(pairs) == 20, pairs
     out = model.apply(fused, x)
@@ -54,7 +54,7 @@ def test_unpaired_modules_untouched():
             "mean": np.zeros(8, np.float32),
             "var": np.ones(8, np.float32)}}},
     }
-    fused, pairs = fuse_conv_bn(variables)
+    fused, pairs, unpaired = fuse_conv_bn(variables)
     assert pairs == []
     np.testing.assert_array_equal(
         fused["params"]["convX"]["Conv_0"]["kernel"],

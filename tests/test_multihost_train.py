@@ -176,8 +176,14 @@ def test_host_shards_are_group_pure_and_disjoint():
             # group-pure batches on every host
             assert len(set(ds.flag[b])) == 1, b
         seen[host] = np.concatenate(idxs)
-    # equal step counts; shards disjoint up to group padding
-    assert len(seen[0]) == len(seen[1])
+    # equal step counts; shards disjoint up to group padding: two groups of
+    # 6 each pad to a multiple of batch_size*num_hosts=4 -> 8, i.e. exactly
+    # 2 in-group resampled duplicates per group (reference
+    # DistributedGroupSampler semantics, group_sampler.py:55-77).  A
+    # sampler regression that duplicates beyond the padding must fail here.
+    assert len(seen[0]) == len(seen[1]) == 8
+    expected_padding = 4
     dup = set(seen[0]) & set(seen[1])
+    assert len(dup) <= expected_padding, dup
     covered = set(seen[0]) | set(seen[1])
     assert covered == set(range(12)), covered

@@ -31,10 +31,11 @@ def main():
 
     ckptr = ocp.StandardCheckpointer()
     variables = ckptr.restore(os.path.abspath(args.src))
-    fused, pairs = fuse_conv_bn(variables)
+    fused, pairs, unpaired = fuse_conv_bn(variables)
     ckptr.save(os.path.abspath(args.dst), fused, force=True)
     ckptr.wait_until_finished()
     print(json.dumps({"fused_pairs": len(pairs), "dst": args.dst,
+                      "unpaired_convs": unpaired,
                       "pairs": pairs[:10] + (["..."] if len(pairs) > 10
                                              else [])}))
 
