@@ -344,6 +344,17 @@ def convert_occformer(sd: Dict[str, np.ndarray],
         tb.ln(sd, base + ".norms.0", dst + "/norm1")
         tb.ln(sd, base + ".norms.1", dst + "/norm2")
         li += 1
+    if li > 1:
+        # scan-with-stacked-params layout (pixel_decoder.scan_layers=True):
+        # torch encoder.layers.{i}.* -> layers/layer/* with a stacked leading
+        # axis.  Stacking the converted per-layer trees preserves element
+        # provenance, so the export permutation round-trip stays bit-exact.
+        neck_p = tb.params["bev_neck"]
+        stacked = [neck_p.pop(f"layer{i}") for i in range(li)]
+        import jax
+
+        neck_p["layers"] = {"layer": jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *stacked)}
     tb.p("bev_neck/level_encoding", sd[f"{neck}.level_encoding.weight"])
     i = 0
     while f"{neck}.lateral_convs.{i}.conv.weight" in sd:

@@ -94,8 +94,14 @@ def build_loss_cfg(head_cfg: Dict, train_cfg: Dict) -> MaskLossConfig:
         # feature-space point readout (lidar heads): sample the single
         # [X, Y, Z, C] feature volume and contract with the embeds instead
         # of forming per-query/per-slot mask volumes — exact identity, no
-        # [G, P] backward trilinear-scatter family (MaskLossConfig docs)
-        feature_readout=bool(head_cfg.get("feature_readout", False)),
+        # [G, P] backward trilinear-scatter family (MaskLossConfig docs).
+        # Default ON for lidar heads since round 4: together with
+        # shared_candidate_readout it removes the dominant per-slot loss
+        # gathers (.probe_loss_gathers.json) — the volume path stays as the
+        # reference-shaped fallback (feature_readout=False in the config).
+        feature_readout=bool(head_cfg.get("feature_readout", is_nusc)),
+        shared_candidate_readout=bool(
+            head_cfg.get("shared_candidate_readout", True)),
     )
 
 

@@ -103,6 +103,18 @@ class MaskLossConfig:
     # features then fp32 contraction, vs bf16 contraction then fp32 lerp);
     # equality is exact when everything is fp32 (tests/test_losses.py).
     feature_readout: bool = False
+    # Shared-candidate supervision readout (feature_readout path only).
+    # The importance supervision points (75% of num_points) ARE candidate
+    # points, so their differentiated pred logits equal rows of the
+    # candidate logits (same coords, same interpolation) and their targets
+    # can come from ONE shared [S, G] gather of the gt masks at the
+    # candidate set — only the 25% random-fill points need fresh volume
+    # samplings.  Numerically equivalent to the per-slot readout (same
+    # sampled values; f32 contraction order may differ at ulp scale,
+    # tests/test_losses.py::test_shared_candidate_readout_equivalence).
+    # Round-4 perf: the per-slot readout was 0.24 s/layer fwd+bwd on chip
+    # (.probe_loss_gathers.json B) vs ~free for shared-coord gathers (A/D).
+    shared_candidate_readout: bool = True
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
@@ -293,6 +305,7 @@ def _loss_single_sample(
         rand_all = jax.random.uniform(r_sup2, (G, n_rand, 3), jnp.float32) \
             if n_rand > 0 else None
 
+        shared_ro = cfg.feature_readout and cfg.shared_candidate_readout
         if cfg.feature_readout:
             # candidate features: ONE shared [S, C] gather (the scoring pass
             # is detached; per-slot logits are a matmul per chunk below).
@@ -303,8 +316,30 @@ def _loss_single_sample(
                 feature[None], cand[None], align_corners=False,
                 padding_mode=cfg.padding_mode,
             )[0]  # [S, C]
+        if shared_ro:
+            # supervision-interpolation variant of the candidate features:
+            # selection scores use align_corners=False (reference
+            # get_nusc_lidarseg_point_coords, mmdet_utils.py:160-162) while
+            # the supervision readout uses cfg.align_corners
+            # (mask2former_nusc_occ.py:137-138) — reuse needs the latter
+            if cfg.align_corners is False:
+                feat_cand_sup = feat_cand
+            else:
+                feat_cand_sup = point_sample_3d(
+                    feature[None], cand[None],
+                    align_corners=cfg.align_corners,
+                    padding_mode=cfg.padding_mode,
+                )[0]  # [S, C]
+            # targets for EVERY slot at the shared candidate set: one
+            # multi-channel gather [S, G] (slots as channels) — ~free on
+            # chip vs per-slot single-channel volumes (probe C vs D)
+            gt_cand = point_sample_3d(
+                jnp.moveaxis(gt_masks, 0, -1)[None], cand[None],
+                align_corners=cfg.align_corners,
+                padding_mode=cfg.padding_mode,
+            )[0]  # [S, G] f32
 
-        def sup_chunk(assign_c, gt_masks_c, rand_c):
+        def sup_chunk(assign_c, gt_masks_c, rand_c, gt_cand_c=None):
             """Per-slot sampling for a chunk of gt slots: pos-mask gather,
             uncertainty sampling on the shared candidates, pred/target
             readout.  Rematerialized per chunk so only one chunk's
@@ -343,29 +378,58 @@ def _loss_single_sample(
                         padding_mode=cfg.padding_mode,
                     )[..., 0]
 
-            sup_coords = uncertainty_sample_coords(
-                None, cand_c, jax.lax.stop_gradient(cand_logits),
-                cfg.num_points, cfg.importance_sample_ratio, rand=rand_c)
-
-            P = sup_coords.shape[1]
-            Kp = max(1, min(cfg.point_chunks, P))
-            if Kp == 1:
-                sup_pred_c = sample_at(src_c, sup_coords)
-            else:
-                # split the differentiated readout over the point axis: each
-                # slice's backward trilinear-scatter is [g, P/Kp]-shaped
-                # (see point_chunks docstring); barrier-chain the slices so
-                # XLA cannot fuse them back into one full-size scatter
+            def chunked_readout(src_cc, coords):
+                """Differentiated readout at ``coords``, split over the point
+                axis (point_chunks): each slice's backward scatter is
+                [g, P/Kp]-shaped; barrier-chained so XLA cannot fuse the
+                slices back into one full-size scatter."""
+                P = coords.shape[1]
+                Kp = max(1, min(cfg.point_chunks, P))
+                if Kp == 1:
+                    return sample_at(src_cc, coords)
                 pbounds = [round(i * P / Kp) for i in range(Kp + 1)]
                 slice_fn = jax.checkpoint(sample_at)
                 parts = []
-                pos_dep = src_c
+                pos_dep = src_cc
                 for ps, pe in zip(pbounds[:-1], pbounds[1:]):
                     if parts:
                         pos_dep, _ = jax.lax.optimization_barrier(
                             (pos_dep, parts[-1]))
-                    parts.append(slice_fn(pos_dep, sup_coords[:, ps:pe]))
-                sup_pred_c = jnp.concatenate(parts, axis=1)
+                    parts.append(slice_fn(pos_dep, coords[:, ps:pe]))
+                return jnp.concatenate(parts, axis=1)
+
+            if shared_ro:
+                # importance points ARE candidates: differentiated pred
+                # logits = rows of the (sup-interpolation) candidate logits;
+                # targets = rows of the shared [S, G] target gather.  Only
+                # the random fill needs fresh volume samplings.
+                n_unc = int(cfg.importance_sample_ratio * cfg.num_points)
+                idx = uncertainty_topk(
+                    jax.lax.stop_gradient(cand_logits), n_unc)  # [g, n_unc]
+                if cfg.align_corners is False:
+                    cand_logits_sup = cand_logits
+                else:
+                    cand_logits_sup = jnp.einsum(
+                        "gc,sc->gs", src_c, feat_cand_sup,
+                        preferred_element_type=jnp.float32)
+                sup_pred_c = jnp.take_along_axis(cand_logits_sup, idx, axis=1)
+                sup_tgt_c = jnp.take_along_axis(gt_cand_c, idx, axis=1)
+                if rand_c is not None and rand_c.shape[1] > 0:
+                    pred_rand = chunked_readout(src_c, rand_c)
+                    tgt_rand = point_sample_3d(
+                        gt_masks_c[..., None], rand_c,
+                        align_corners=cfg.align_corners,
+                        padding_mode=cfg.padding_mode,
+                    )[..., 0]
+                    sup_pred_c = jnp.concatenate([sup_pred_c, pred_rand], axis=1)
+                    sup_tgt_c = jnp.concatenate([sup_tgt_c, tgt_rand], axis=1)
+                return sup_pred_c, jax.lax.stop_gradient(sup_tgt_c)
+
+            sup_coords = uncertainty_sample_coords(
+                None, cand_c, jax.lax.stop_gradient(cand_logits),
+                cfg.num_points, cfg.importance_sample_ratio, rand=rand_c)
+
+            sup_pred_c = chunked_readout(src_c, sup_coords)
             # target readout is detached — no VJP scatter, never chunked
             sup_tgt_c = point_sample_3d(
                 gt_masks_c[..., None], sup_coords,
@@ -375,7 +439,9 @@ def _loss_single_sample(
 
         K = max(1, min(cfg.gt_chunks, G))
         if K == 1:
-            sup_pred, sup_tgt = sup_chunk(assign_q, gt_masks, rand_all)
+            sup_pred, sup_tgt = sup_chunk(
+                assign_q, gt_masks, rand_all,
+                gt_cand.T if shared_ro else None)
         else:
             bounds = [round(i * G / K) for i in range(K + 1)]
             chunk_fn = jax.checkpoint(sup_chunk)
@@ -390,7 +456,8 @@ def _loss_single_sample(
                         (assign_dep, preds[-1]))
                 p_c, t_c = chunk_fn(
                     assign_dep[s:e], gt_masks[s:e],
-                    None if rand_all is None else rand_all[s:e])
+                    None if rand_all is None else rand_all[s:e],
+                    gt_cand[:, s:e].T if shared_ro else None)
                 preds.append(p_c)
                 tgts.append(t_c)
             sup_pred = jnp.concatenate(preds, axis=0)

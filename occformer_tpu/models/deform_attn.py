@@ -90,9 +90,20 @@ class MultiScaleDeformableAttention3D(nn.Module):
         value = Linear(C, dtype=self.dtype, name="value_proj")(value)
         Nv = value.shape[1]
 
-        offsets = Linear(H * L * P * 3, dtype=self.dtype, name="sampling_offsets")(query)
+        # reference init_weights parity (multi_scale_deform_attn_3d.py:160-186):
+        # zero offset/weight kernels, radial offset bias, zero weight bias —
+        # applied HERE so every init path (train CLI, trials, tests) gets it
+        offsets = Linear(
+            H * L * P * 3, dtype=self.dtype, name="sampling_offsets",
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                deform_attn_offset_bias_init(H, L, P), dtype).reshape(shape),
+        )(query)
         offsets = offsets.reshape(B, Nq, H, L, P, 3)
-        weights = Linear(H * L * P, dtype=self.dtype, name="attention_weights")(query)
+        weights = Linear(
+            H * L * P, dtype=self.dtype, name="attention_weights",
+            kernel_init=nn.initializers.zeros,
+        )(query)
         weights = weights.reshape(B, Nq, H, L * P)
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).astype(self.dtype)
         weights = weights.reshape(B, Nq, H, L, P)

@@ -162,15 +162,21 @@ class Linear(nn.Module):
     features: int
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    kernel_init: Any = None
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self, x):
+        kw = {}
+        if self.bias_init is not None:
+            kw["bias_init"] = self.bias_init
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            kernel_init=torch_linear_init,
+            kernel_init=self.kernel_init or torch_linear_init,
+            **kw,
         )(x)
 
 

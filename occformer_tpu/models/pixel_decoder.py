@@ -72,6 +72,38 @@ class DeformableEncoderLayer(nn.Module):
         return LayerNorm(dtype=self.dtype, name="norm2")(y)
 
 
+class _ScannedEncoderLayer(nn.Module):
+    """nn.scan body: one rematerialized DeformableEncoderLayer per step.
+
+    Param tree: ``layers/layer/...`` with a stacked leading axis of
+    num_encoder_layers — HLO contains ONE layer body instead of six
+    (round-2's unrolled-layers decision rested on the retracted
+    block_until_ready loop-pathology measurement; fetch-forced probes show
+    multi-iteration scan over large bodies is fine, NOTES.md)."""
+
+    embed_dims: int
+    num_heads: int
+    num_levels: int
+    num_points: int
+    feedforward_channels: int
+    spatial_shapes: Any = None
+    query_chunks: int = 1
+    gather_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos, reference_points):
+        y = nn.remat(DeformableEncoderLayer)(
+            embed_dims=self.embed_dims, num_heads=self.num_heads,
+            num_levels=self.num_levels, num_points=self.num_points,
+            feedforward_channels=self.feedforward_channels,
+            spatial_shapes=self.spatial_shapes,
+            query_chunks=self.query_chunks, gather_impl=self.gather_impl,
+            dtype=self.dtype, name="layer",
+        )(x, pos, reference_points)
+        return y, None
+
+
 @NECKS.register_module()
 class MSDeformAttnPixelDecoder3D(nn.Module):
     """Multi-scale voxel features -> [mask_feat, scale0, scale1, scale2, scale3].
@@ -96,6 +128,10 @@ class MSDeformAttnPixelDecoder3D(nn.Module):
     # training big configs; see MultiScaleDeformableAttention3D.query_chunks)
     query_chunks: int = 1
     gather_impl: str = "auto"
+    # scan-with-stacked-params over the encoder layers (params under
+    # layers/layer/* with a stacked leading axis).  False = unrolled
+    # per-layer params (layer{i}/*) — kept for the equivalence test.
+    scan_layers: bool = True
     dtype: Any = jnp.float32
     # config-parity extras (ignored: structure is derived from them upstream)
     encoder: Any = None
@@ -137,16 +173,28 @@ class MSDeformAttnPixelDecoder3D(nn.Module):
         ref = jnp.asarray(_reference_points(tuple(shapes)))
         ref = jnp.broadcast_to(ref[None, :, None, :], (B, ref.shape[0], n_enc, 3))
 
-        for li in range(self.num_encoder_layers):
-            # remat: corner-gather buffers are recomputed in backward instead
-            # of staying live across all encoder layers
-            x = nn.remat(DeformableEncoderLayer)(
-                embed_dims=C, num_heads=self.num_heads, num_levels=n_enc,
-                num_points=self.num_points, feedforward_channels=ffc,
-                spatial_shapes=tuple(shapes), query_chunks=self.query_chunks,
-                gather_impl=self.gather_impl, dtype=self.dtype,
-                name=f"layer{li}",
-            )(x, pos_all, ref)
+        layer_kw = dict(
+            embed_dims=C, num_heads=self.num_heads, num_levels=n_enc,
+            num_points=self.num_points, feedforward_channels=ffc,
+            spatial_shapes=tuple(shapes), query_chunks=self.query_chunks,
+            gather_impl=self.gather_impl, dtype=self.dtype,
+        )
+        if self.scan_layers and self.num_encoder_layers > 1:
+            stack = nn.scan(
+                _ScannedEncoderLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_encoder_layers,
+            )
+            x, _ = stack(**layer_kw, name="layers")(x, pos_all, ref)
+        else:
+            for li in range(self.num_encoder_layers):
+                # remat: corner-gather buffers are recomputed in backward
+                # instead of staying live across all encoder layers
+                x = nn.remat(DeformableEncoderLayer)(
+                    **layer_kw, name=f"layer{li}",
+                )(x, pos_all, ref)
 
         # split back into volumes, coarsest first
         outs = []

@@ -469,3 +469,63 @@ def test_feature_readout_bf16_deviation_bounded(rng):
         # contraction (8 mantissa bits), NOT a path divergence.  Bound at
         # 6e-3 abs / 2e-2 rel; anything beyond means the identity broke.
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=6e-3)
+
+
+@pytest.mark.quick
+def test_shared_candidate_readout_equivalence(rng):
+    """Round-4 perf restructure: importance supervision points are candidate
+    points, so pred logits / targets can be read from ONE shared candidate
+    gather (shared_candidate_readout) instead of per-slot fresh samplings.
+    Must equal the per-slot readout to fp rounding — losses and grads."""
+    import dataclasses
+
+    base = dataclasses.replace(_cfg(use_lidar=True), feature_readout=True)
+    cfg_slot = dataclasses.replace(base, shared_candidate_readout=False)
+    cfg_shared = dataclasses.replace(base, shared_candidate_readout=True)
+    cls, emb, feat = _outputs(rng)
+    gt = jnp.asarray(rng.randint(0, 4, (1, 16, 16, 8)).astype(np.int32))
+    lidar = jnp.asarray(rng.rand(1, 32, 3).astype(np.float32))
+    valid = jnp.ones((1, 32), bool)
+
+    def run(cfg, emb_, feat_):
+        return mask2former_loss(jax.random.PRNGKey(3), cls, emb_, feat_, gt,
+                                cfg, lidar_xyz=lidar, lidar_valid=valid)
+
+    ls = run(cfg_slot, emb, feat)
+    lh = run(cfg_shared, emb, feat)
+    assert set(ls) == set(lh)
+    for k in ls:
+        np.testing.assert_allclose(float(ls[k]), float(lh[k]), rtol=1e-5,
+                                   atol=1e-7, err_msg=k)
+
+    def grads(cfg):
+        return jax.grad(lambda a: sum(run(cfg, *a).values()))((emb, feat))
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(cfg_slot)),
+                    jax.tree_util.tree_leaves(grads(cfg_shared))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_shared_candidate_readout_respects_align_corners(rng):
+    """cfg.align_corners=True must route the reuse through the
+    sup-interpolation candidate gather, not the ac=False selection gather."""
+    import dataclasses
+
+    for ac in (False, True):
+        base = dataclasses.replace(_cfg(use_lidar=True), feature_readout=True,
+                                   align_corners=ac)
+        cfg_slot = dataclasses.replace(base, shared_candidate_readout=False)
+        cfg_shared = dataclasses.replace(base, shared_candidate_readout=True)
+        cls, emb, feat = _outputs(rng)
+        gt = jnp.asarray(rng.randint(0, 4, (1, 16, 16, 8)).astype(np.int32))
+        lidar = jnp.asarray(rng.rand(1, 24, 3).astype(np.float32))
+        valid = jnp.ones((1, 24), bool)
+        ls = mask2former_loss(jax.random.PRNGKey(9), cls, emb, feat, gt,
+                              cfg_slot, lidar_xyz=lidar, lidar_valid=valid)
+        lh = mask2former_loss(jax.random.PRNGKey(9), cls, emb, feat, gt,
+                              cfg_shared, lidar_xyz=lidar, lidar_valid=valid)
+        for k in ls:
+            np.testing.assert_allclose(float(ls[k]), float(lh[k]), rtol=1e-5,
+                                       atol=1e-7, err_msg=f"ac={ac}: {k}")

@@ -1,0 +1,91 @@
+"""Scan-with-stacked-params encoder layers == unrolled layers (VERDICT r3 #5).
+
+The pixel decoder's 6 deform-attn encoder layers are lax.scan'ed over a
+stacked param axis (HLO holds ONE layer body).  This must be a pure layout
+change: stacking the unrolled per-layer params and running the scan path
+reproduces outputs and gradients exactly.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from occformer_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder3D
+
+
+def stack_encoder_layers(params: dict, num_layers: int) -> dict:
+    """unrolled layer{i}/... params -> scan layout layers/layer/... stacked."""
+    p = dict(params)
+    layers = [p.pop(f"layer{i}") for i in range(num_layers)]
+    p["layers"] = {"layer": jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *layers)}
+    return p
+
+
+def unstack_encoder_layers(params: dict, num_layers: int) -> dict:
+    """scan layout -> unrolled layer{i}/... (export/converter reverse)."""
+    p = dict(params)
+    stacked = p.pop("layers")["layer"]
+    for i in range(num_layers):
+        p[f"layer{i}"] = jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
+    return p
+
+
+def _build(scan):
+    return MSDeformAttnPixelDecoder3D(
+        in_channels=(8, 12, 16, 20), feat_channels=24, out_channels=24,
+        num_encoder_levels=3, num_encoder_layers=4, num_heads=4,
+        num_points=2, num_groups=4, scan_layers=scan)
+
+
+def _feats(rng):
+    shapes = [(8, 8, 4), (4, 4, 2), (2, 2, 2), (2, 2, 1)]
+    chans = (8, 12, 16, 20)
+    return [jnp.asarray(rng.randn(1, *s, c), jnp.float32)
+            for s, c in zip(shapes, chans)]
+
+
+@pytest.mark.quick
+def test_scan_matches_unrolled_outputs_and_grads():
+    rng = np.random.RandomState(0)
+    feats = _feats(rng)
+    m_unroll = _build(False)
+    m_scan = _build(True)
+    v = m_unroll.init(jax.random.PRNGKey(0), feats)
+    p_stacked = stack_encoder_layers(v["params"], 4)
+
+    outs_u = m_unroll.apply(v, feats)
+    outs_s = m_scan.apply({"params": p_stacked}, feats)
+    for a, b in zip(outs_u, outs_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def loss_u(p):
+        return sum(jnp.sum(o ** 2) for o in m_unroll.apply({"params": p},
+                                                           feats))
+
+    def loss_s(p):
+        return sum(jnp.sum(o ** 2) for o in m_scan.apply({"params": p}, feats))
+
+    g_u = jax.grad(loss_u)(v["params"])
+    g_s = unstack_encoder_layers(jax.grad(loss_s)(p_stacked), 4)
+    flat_u = jax.tree_util.tree_leaves_with_path(g_u)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(g_s))
+    # scan accumulates the layer-grad sums in a different association order
+    # than the unrolled adds — measured rel deviation 9e-5 on conv kernels
+    for path, leaf in flat_u:
+        np.testing.assert_allclose(
+            np.asarray(flat_s[path]), np.asarray(leaf), rtol=5e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_stack_unstack_roundtrip():
+    rng = np.random.RandomState(1)
+    feats = _feats(rng)
+    v = _build(False).init(jax.random.PRNGKey(1), feats)
+    rt = unstack_encoder_layers(stack_encoder_layers(v["params"], 4), 4)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(v["params"]),
+            jax.tree_util.tree_leaves_with_path(rt)):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
