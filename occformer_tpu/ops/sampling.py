@@ -228,6 +228,34 @@ def _resize_coords(out_size: int, in_size: int, align_corners: bool) -> jnp.ndar
     return (2 * pix + 1) / in_size - 1.0
 
 
+def _upsample_axis_int(x: jnp.ndarray, axis: int, s: int) -> jnp.ndarray:
+    """Integer-factor linear upsample along one axis, torch half-pixel
+    (align_corners=False) semantics, as DENSE phase-interleaved lerps.
+
+    Output index ``i = s*k + p`` samples input coordinate
+    ``k + (p + 0.5)/s - 0.5``: each phase ``p`` is a fixed 2-tap lerp of the
+    input with its border-replicated left/right shift — no gather, so XLA
+    emits pure vector adds instead of the serial per-element gather that made
+    ``grid_sample_3d``-backed resizes a hot spot (round-4 train ablation).
+    """
+    if s == 1:
+        return x
+    x = jnp.moveaxis(x, axis, 0)
+    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)   # border-replicated left
+    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)    # border-replicated right
+    phases = []
+    for p in range(s):
+        f = (p + 0.5) / s - 0.5
+        if f < 0:
+            yp = (-f) * prev.astype(jnp.float32) + (1.0 + f) * x.astype(jnp.float32)
+        else:
+            yp = (1.0 - f) * x.astype(jnp.float32) + f * nxt.astype(jnp.float32)
+        phases.append(yp.astype(x.dtype))
+    y = jnp.stack(phases, axis=1)  # [n, s, ...]
+    y = y.reshape((x.shape[0] * s,) + x.shape[1:])
+    return jnp.moveaxis(y, 0, axis)
+
+
 def resize_trilinear(
     vol: jnp.ndarray, size: Tuple[int, int, int], align_corners: bool = False
 ) -> jnp.ndarray:
@@ -235,9 +263,18 @@ def resize_trilinear(
 
     Used for FPN upsampling (necks/multiscale_deformattn_3d.py:232-238) and the
     test-time voxel rescale (mask2former_occ.py:688-694).
+
+    Integer-factor upsamples with align_corners=False (the FPN case) take the
+    dense separable path (`_upsample_axis_int`); everything else falls back to
+    the gather-based ``grid_sample_3d`` formulation.
     """
     B, X, Y, Z, C = vol.shape
     ox, oy, oz = size
+    if (not align_corners and ox % X == 0 and oy % Y == 0 and oz % Z == 0
+            and (ox, oy, oz) != (X, Y, Z)):
+        out = _upsample_axis_int(vol, 1, ox // X)
+        out = _upsample_axis_int(out, 2, oy // Y)
+        return _upsample_axis_int(out, 3, oz // Z)
     gx = _resize_coords(ox, X, align_corners)
     gy = _resize_coords(oy, Y, align_corners)
     gz = _resize_coords(oz, Z, align_corners)

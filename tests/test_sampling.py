@@ -80,6 +80,20 @@ def test_resize_trilinear_matches_torch(rng, align_corners, size):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("factors", [(2, 2, 2), (4, 2, 1), (1, 1, 3)])
+def test_resize_trilinear_int_factor_matches_torch(rng, factors):
+    """Integer-factor align_corners=False upsamples take the dense separable
+    path (`_upsample_axis_int`, the round-4 FPN de-gather) — parity vs torch
+    must hold bit-tight there too."""
+    vol = rng.randn(2, 5, 6, 4, 3).astype(np.float32)
+    size = (5 * factors[0], 6 * factors[1], 4 * factors[2])
+    ours = np.asarray(resize_trilinear(jnp.asarray(vol), size, False))
+    vol_t = torch.from_numpy(np.moveaxis(vol, -1, 1).copy())
+    ref = F.interpolate(vol_t, size=size, mode="trilinear", align_corners=False)
+    ref = np.moveaxis(ref.numpy(), 1, -1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("align_corners", [False, True])
 def test_resize_bilinear_matches_torch(rng, align_corners):
     img = rng.randn(2, 7, 9, 3).astype(np.float32)
