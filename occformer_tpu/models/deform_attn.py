@@ -34,7 +34,9 @@ def resolve_gather_impl(gather_impl: str) -> str:
     SURVEY §4 implication (1))."""
     if gather_impl == "auto":
         return "mxu" if jax.default_backend() == "tpu" else "xla"
-    assert gather_impl in ("mxu", "xla", "mxu_interpret"), gather_impl
+    # 'skip' (DEBUG ONLY, tools/bench_pixel_decoder.py): replaces the gather
+    # with zeros to measure everything-but-the-gather — NEVER a model config
+    assert gather_impl in ("mxu", "xla", "mxu_interpret", "skip"), gather_impl
     return gather_impl
 
 
@@ -67,6 +69,13 @@ class MultiScaleDeformableAttention3D(nn.Module):
     # 'mxu' is the Pallas one-hot kernel (ops/trilerp.py) — the round-4 fix
     # for the serial XLA gather that was 95% of the flagship frame.
     gather_impl: str = "auto"
+    # windowed-kernel width for levels whose xy plane exceeds it: each
+    # 256-sample block matmuls a gather_window-row dynamic table slice
+    # instead of the full X*Y rows (queries are a flattened grid, so blocks
+    # are spatially local; an exact escape pass covers offset outliers).
+    # 640 covers x-offsets to ~±4.9 voxels on the 64x64 level (the radial
+    # init maxes at ±4).  0 disables (full-width one-hot).
+    gather_window: int = 640
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -155,10 +164,16 @@ class MultiScaleDeformableAttention3D(nn.Module):
                 # [0,1] -> [-1,1], align_corners=False (torch grid_sample parity)
                 g = locs_c[:, :, :, l] * 2.0 - 1.0  # [B, nq, H, P, 3]
                 g = g.transpose(0, 2, 1, 3, 4).reshape(B * H, nq * P, 3)
-                if use_mxu:
+                if impl == "skip":
+                    # debug: gather cost ablation — touch the inputs so XLA
+                    # cannot DCE the value layout work, but do no gather
+                    s = jnp.zeros((B * H, hd, nq * P), self.dtype) \
+                        + v_levels[l][:, :hd, :1] * 0 \
+                        + g[:, :1, :1].astype(self.dtype) * 0
+                elif use_mxu:
                     s = trilerp_gather_slab(
                         v_levels[l], (X, Y, Z), hd, g, align_corners=False,
-                        interpret=interp,
+                        interpret=interp, window=self.gather_window,
                     )  # [B*H, hd, nq*P]
                 else:
                     s = grid_sample_3d_cfirst(

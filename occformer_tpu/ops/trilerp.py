@@ -125,6 +125,186 @@ def _gsum(Z: int, C: int, dtype=jnp.float32):
     return (gi % C == gj).astype(dtype)
 
 
+def _corner_rows_weights(mt, Y: int):
+    """mt [S_blk, 8] -> (rows [S_blk, 4], weights [S_blk, 4]) of the 4 xy
+    corners (offsets {0, 1, Y, Y+1} from the unclamped base)."""
+    a = mt[:, 0:1]
+    rows = jnp.concatenate([a, a + 1.0, a + float(Y), a + float(Y + 1)], axis=1)
+    return rows, mt[:, 2:6]
+
+
+def _window_start(mt, Y: int, XY: int, W: int):
+    """Per-block window: (r0 int32 scalar, escape bool scalar).
+
+    r0 = 16-aligned floor of the minimum live-weight corner row (zero-weight
+    corners — OOB samples — are excluded), clamped to [0, XY - W]; escape is
+    true iff any live corner row falls outside [r0, r0 + W).
+    """
+    rows, ws = _corner_rows_weights(mt, Y)
+    live = ws != 0.0
+    rmin = jnp.min(jnp.where(live, rows, jnp.float32(XY)))
+    r0 = jnp.clip(rmin, 0.0, float(XY - W))
+    r0 = jnp.floor(r0 / 16.0) * 16.0  # bf16 sublane-tile alignment
+    rmax = jnp.max(jnp.where(live, rows, -1.0))
+    escape = rmax - r0 > float(W - 1)
+    return r0, escape
+
+
+def _onehot_xy_win(mt, r0, Y: int, W: int, dtype):
+    """Windowed xy interpolation matrix [S_blk, W]: column j = table row
+    r0 + j.  Corners outside the window simply never match (escape pass
+    covers them)."""
+    a = mt[:, 0:1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    d = (iota + r0) - a
+    oh = (
+        jnp.where(d == 0.0, mt[:, 2:3], 0.0)
+        + jnp.where(d == 1.0, mt[:, 3:4], 0.0)
+        + jnp.where(d == float(Y), mt[:, 4:5], 0.0)
+        + jnp.where(d == float(Y + 1), mt[:, 5:6], 0.0)
+    )
+    return oh.astype(dtype)
+
+
+def _onehot_xy_esc(mt, r0, Y: int, XY: int, W: int, dtype):
+    """Full-width onehot restricted to OUT-of-window corners (the exact
+    complement of `_onehot_xy_win`)."""
+    rows, ws = _corner_rows_weights(mt, Y)
+    outw = ((rows < r0) | (rows > r0 + float(W - 1))).astype(jnp.float32)
+    a = mt[:, 0:1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, XY), 1).astype(jnp.float32)
+    d = iota - a
+    oh = (
+        jnp.where(d == 0.0, ws[:, 0:1] * outw[:, 0:1], 0.0)
+        + jnp.where(d == 1.0, ws[:, 1:2] * outw[:, 1:2], 0.0)
+        + jnp.where(d == float(Y), ws[:, 2:3] * outw[:, 2:3], 0.0)
+        + jnp.where(d == float(Y + 1), ws[:, 3:4] * outw[:, 3:4], 0.0)
+    )
+    return oh.astype(dtype), outw
+
+
+def _fwd_kernel_win(meta_ref, table_ref, out_ref, *, Y, Z, C, XY, W, prec):
+    """Windowed forward: the sampling locations of a 256-sample block are
+    spatially local (queries are a flattened grid; learned offsets are small),
+    so the one-hot matmul only needs a W-row dynamic slice of the table —
+    W/XY of the FLOPs — with an exact full-width escape pass for blocks whose
+    offsets break locality (pl.when, so it costs nothing when local)."""
+    mt = jnp.transpose(meta_ref[0])  # [S_blk, 8] f32
+    r0f, esc = _window_start(mt, Y, XY, W)
+    r0 = r0f.astype(jnp.int32)
+    win = table_ref[0, pl.ds(r0, W), :]  # [W, ZC]
+    oh = _onehot_xy_win(mt, r0f, Y, W, win.dtype)
+    slab = jax.lax.dot_general(
+        oh, win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk, Z*C]
+    masked = slab * _zmask(mt, Z, C)
+    out = jax.lax.dot_general(
+        masked, _gsum(Z, C), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk, C]
+    out_ref[0] = jnp.transpose(out).astype(out_ref.dtype)
+
+    @pl.when(esc)
+    def _():
+        tbl = table_ref[0]
+        oh_e, _ = _onehot_xy_esc(mt, r0f, Y, XY, W, tbl.dtype)
+        slab_e = jax.lax.dot_general(
+            oh_e, tbl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        masked_e = slab_e * _zmask(mt, Z, C)
+        out_e = jax.lax.dot_general(
+            masked_e, _gsum(Z, C), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out_ref[0] += jnp.transpose(out_e).astype(out_ref.dtype)
+
+
+def _bwd_kernel_win(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
+                    *, Y, Z, C, XY, W, prec):
+    s = pl.program_id(1)
+    mt = jnp.transpose(meta_ref[0])                      # [S_blk, 8]
+    g = jnp.transpose(gout_ref[0]).astype(jnp.float32)   # [S_blk, C]
+    zm = _zmask(mt, Z, C)
+    d_masked = jnp.concatenate([g] * Z, axis=1)          # [S_blk, Z*C]
+    d_slab = d_masked * zm
+
+    r0f, esc = _window_start(mt, Y, XY, W)
+    r0 = r0f.astype(jnp.int32)
+    win = table_ref[0, pl.ds(r0, W), :].astype(jnp.float32)  # [W, ZC]
+    oh = _onehot_xy_win(mt, r0f, Y, W, jnp.float32)          # [S_blk, W]
+
+    # d_table: windowed accumulation via a dynamic read-modify-write
+    dt = jax.lax.dot_general(
+        oh, d_slab, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [W, ZC]
+
+    @pl.when(s == 0)
+    def _():
+        dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
+
+    dtab_ref[0, pl.ds(r0, W), :] += dt
+
+    # xy weight grads from the windowed m2
+    m2 = jax.lax.dot_general(
+        d_slab, win, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk, W]
+    a = mt[:, 0:1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    d = (iota + r0f) - a
+
+    def pick(v):
+        return jnp.sum(jnp.where(d == v, m2, 0.0), axis=1, keepdims=True)
+
+    dw00, dw01 = pick(0.0), pick(1.0)
+    dw10, dw11 = pick(float(Y)), pick(float(Y + 1))
+
+    # z weight grads from the windowed slab
+    slab = jax.lax.dot_general(
+        oh, win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    t1 = slab * d_masked
+    z0 = mt[:, 1:2]
+    zg = (jax.lax.broadcasted_iota(jnp.int32, (1, Z * C), 1) // C).astype(
+        jnp.float32)
+    dc0 = jnp.sum(jnp.where(zg == z0, t1, 0.0), axis=1, keepdims=True)
+    dc1 = jnp.sum(jnp.where(zg == z0 + 1.0, t1, 0.0), axis=1, keepdims=True)
+
+    zr = jnp.zeros_like(dw00)
+    dmeta = jnp.concatenate(
+        [zr, zr, dw00, dw01, dw10, dw11, dc0, dc1], axis=1)  # [S_blk, 8]
+    dmeta_ref[0] = jnp.transpose(dmeta)
+
+    @pl.when(esc)
+    def _():
+        tbl = table_ref[0].astype(jnp.float32)
+        oh_e, outw = _onehot_xy_esc(mt, r0f, Y, XY, W, jnp.float32)
+        dtab_ref[0] += jax.lax.dot_general(
+            oh_e, d_slab, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        m2f = jax.lax.dot_general(
+            d_slab, tbl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # [S_blk, XY]
+        iota_f = jax.lax.broadcasted_iota(
+            jnp.int32, (1, XY), 1).astype(jnp.float32)
+        df = iota_f - a
+
+        def pickf(v, c):
+            return jnp.sum(jnp.where(df == v, m2f, 0.0), axis=1,
+                           keepdims=True) * outw[:, c:c + 1]
+
+        dwf = jnp.concatenate(
+            [pickf(0.0, 0), pickf(1.0, 1),
+             pickf(float(Y), 2), pickf(float(Y + 1), 3)], axis=1)
+        slab_e = jax.lax.dot_general(
+            oh_e, tbl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        t1e = slab_e * d_masked
+        dc0e = jnp.sum(jnp.where(zg == z0, t1e, 0.0), axis=1, keepdims=True)
+        dc1e = jnp.sum(jnp.where(zg == z0 + 1.0, t1e, 0.0), axis=1,
+                       keepdims=True)
+        zre = jnp.zeros_like(dc0e)
+        dmeta_e = jnp.concatenate([zre, zre, dwf, dc0e, dc1e], axis=1)
+        dmeta_ref[0] += jnp.transpose(dmeta_e)
+
+
 def _fwd_kernel(meta_ref, table_ref, out_ref, *, Y, Z, C, XY, prec):
     mt = jnp.transpose(meta_ref[0])  # [S_blk, 8] f32
     tbl = table_ref[0]               # [XY, Z*C]
@@ -203,9 +383,18 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 @functools.lru_cache(maxsize=None)
 def _build_op(X: int, Y: int, Z: int, C: int, s_block: int, interpret: bool,
-              highp: bool):
+              highp: bool, window: int = 0):
     XY = X * Y
     ZC = Z * C
+    # windowed kernels only pay off when the window is a real subset
+    win = window if (window and window < XY) else 0
+    if win:
+        assert win % 16 == 0, f"window {win} must be sublane-tile aligned"
+        fwd_kernel = functools.partial(_fwd_kernel_win, W=win)
+        bwd_kernel = functools.partial(_bwd_kernel_win, W=win)
+    else:
+        fwd_kernel = _fwd_kernel
+        bwd_kernel = _bwd_kernel
     # f32 tables (tests, fp32-islands configs): force 6-pass MXU f32 — the
     # default single bf16 pass showed ~1e-2 relative error on-chip.  bf16
     # tables keep the fast default (the XLA reference path is bf16 anyway).
@@ -221,7 +410,7 @@ def _build_op(X: int, Y: int, Z: int, C: int, s_block: int, interpret: bool,
         G, _, Sp = meta.shape
         grid = (G, Sp // s_block)
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, Y=Y, Z=Z, C=C, XY=XY, prec=prec),
+            functools.partial(fwd_kernel, Y=Y, Z=Z, C=C, XY=XY, prec=prec),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, _META_ROWS, s_block),
@@ -238,7 +427,7 @@ def _build_op(X: int, Y: int, Z: int, C: int, s_block: int, interpret: bool,
         G, _, Sp = meta.shape
         grid = (G, Sp // s_block)
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, Y=Y, Z=Z, C=C, XY=XY, prec=prec),
+            functools.partial(bwd_kernel, Y=Y, Z=Z, C=C, XY=XY, prec=prec),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, _META_ROWS, s_block),
@@ -284,11 +473,16 @@ def trilerp_gather_slab(
     *,
     s_block: int = 256,
     interpret: bool = False,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Trilinear zeros-padding sampling via the MXU one-hot kernel.
 
     table:  [G, X*Y, Z*C] value slab (xy rows, z-major lane groups of C)
     coords: [G, S, 3] in [-1, 1], coords[..., i] indexes spatial axis i
+    window: if 0 < window < X*Y, each 256-sample block matmuls only a
+      window-row dynamic table slice around its minimum live corner row
+      (window/XY of the FLOPs), with an exact full-width escape pass for
+      blocks whose sampling locations break locality.  0 = full width.
     Returns [G, C, S] in table.dtype (f32 corner accumulation inside).
     """
     X, Y, Z = spatial
@@ -300,7 +494,7 @@ def trilerp_gather_slab(
     if Sp != S:
         meta = jnp.pad(meta, ((0, 0), (0, 0), (0, Sp - S)))
     op = _build_op(X, Y, Z, channels, s_block, interpret,
-                   table.dtype == jnp.float32)
+                   table.dtype == jnp.float32, window)
     out = op(table, meta)
     return out[:, :, :S] if Sp != S else out
 
@@ -323,9 +517,11 @@ def grid_sample_3d_cfirst_mxu(
     *,
     s_block: int = 256,
     interpret: bool = False,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Drop-in for ``sampling.grid_sample_3d_cfirst`` (zeros padding only)."""
     C = vol_flat.shape[1]
     slab = cfirst_to_slab(vol_flat, spatial)
     return trilerp_gather_slab(slab, spatial, C, coords, align_corners,
-                               s_block=s_block, interpret=interpret)
+                               s_block=s_block, interpret=interpret,
+                               window=window)

@@ -140,6 +140,83 @@ def test_meta_is_differentiable_wrt_coords():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def _kernel_win(vol, coords, window=32):
+    return grid_sample_3d_cfirst_mxu(vol, SPATIAL, coords, s_block=32,
+                                     interpret=True, window=window)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("spill", [0.0, 0.6])
+@pytest.mark.parametrize("window", [16, 32, 48])
+def test_windowed_forward_matches_xla(spill, window):
+    """Uniform-random coords make nearly every block take the escape pass —
+    the windowed kernel must stay exact there too."""
+    vol, coords = _rand(spill, seed=10)
+    got = np.asarray(_kernel_win(vol, coords, window))
+    want = np.asarray(_xla(vol, coords))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_windowed_grid_local_matches_xla():
+    """Grid-ordered queries with small offsets: the windowed fast path (no
+    escape) — the production regime of the deform-attn encoder."""
+    X, Y, Z = SPATIAL
+    rng = np.random.RandomState(11)
+    vol = jnp.asarray(rng.randn(G, C, X * Y * Z), jnp.float32)
+    xs = (np.arange(X) + 0.5) / X
+    ys = (np.arange(Y) + 0.5) / Y
+    zs = (np.arange(Z) + 0.5) / Z
+    ref = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1).reshape(-1, 3)
+    off = rng.uniform(-1.5, 1.5, size=(G,) + ref.shape) / np.array([X, Y, Z])
+    coords = jnp.asarray((ref[None] + off) * 2.0 - 1.0, jnp.float32)
+    got = np.asarray(_kernel_win(vol, coords, 32))
+    want = np.asarray(_xla(vol, coords))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_windowed_grads_match_xla():
+    vol, coords = _rand(0.4, S=40, seed=12)
+    probe = jnp.asarray(np.random.RandomState(13).randn(G, C, 40), jnp.float32)
+
+    def loss(fn, v, c):
+        return jnp.sum(fn(v, c) * probe)
+
+    gv_k, gc_k = jax.grad(
+        lambda v, c: loss(_kernel_win, v, c), (0, 1))(vol, coords)
+    gv_x, gc_x = jax.grad(lambda v, c: loss(_xla, v, c), (0, 1))(vol, coords)
+    np.testing.assert_allclose(np.asarray(gv_k), np.asarray(gv_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc_k), np.asarray(gc_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_grads_grid_local():
+    """Gradients through the pure windowed path (no escapes)."""
+    X, Y, Z = SPATIAL
+    rng = np.random.RandomState(14)
+    vol = jnp.asarray(rng.randn(G, C, X * Y * Z), jnp.float32)
+    xs = (np.arange(X) + 0.5) / X
+    ys = (np.arange(Y) + 0.5) / Y
+    zs = (np.arange(Z) + 0.5) / Z
+    ref = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1).reshape(-1, 3)
+    off = rng.uniform(-0.9, 0.9, size=(G,) + ref.shape) / np.array([X, Y, Z])
+    coords = jnp.asarray((ref[None] + off) * 2.0 - 1.0, jnp.float32)
+    probe = jnp.asarray(rng.randn(G, C, ref.shape[0]), jnp.float32)
+
+    def loss(fn, v, c):
+        return jnp.sum(fn(v, c) * probe)
+
+    gv_k, gc_k = jax.grad(
+        lambda v, c: loss(_kernel_win, v, c), (0, 1))(vol, coords)
+    gv_x, gc_x = jax.grad(lambda v, c: loss(_xla, v, c), (0, 1))(vol, coords)
+    np.testing.assert_allclose(np.asarray(gv_k), np.asarray(gv_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc_k), np.asarray(gc_x),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_bf16_table():
     vol, coords = _rand(0.2, S=48, seed=8)
     got = np.asarray(grid_sample_3d_cfirst_mxu(
