@@ -191,7 +191,10 @@ def _fwd_kernel_win(meta_ref, table_ref, out_ref, *, Y, Z, C, XY, W, prec):
     offsets break locality (pl.when, so it costs nothing when local)."""
     mt = jnp.transpose(meta_ref[0])  # [S_blk, 8] f32
     r0f, esc = _window_start(mt, Y, XY, W)
-    r0 = r0f.astype(jnp.int32)
+    # Mosaic needs the dynamic-slice start PROVABLY sublane-aligned; the
+    # f32 floor(r0/16)*16 arithmetic is opaque to it, so assert the
+    # invariant with the multiple_of hint (holds by construction).
+    r0 = pl.multiple_of(r0f.astype(jnp.int32), 16)
     win = table_ref[0, pl.ds(r0, W), :]  # [W, ZC]
     oh = _onehot_xy_win(mt, r0f, Y, W, win.dtype)
     slab = jax.lax.dot_general(
@@ -227,7 +230,7 @@ def _bwd_kernel_win(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
     d_slab = d_masked * zm
 
     r0f, esc = _window_start(mt, Y, XY, W)
-    r0 = r0f.astype(jnp.int32)
+    r0 = pl.multiple_of(r0f.astype(jnp.int32), 16)  # see _fwd_kernel_win
     win = table_ref[0, pl.ds(r0, W), :].astype(jnp.float32)  # [W, ZC]
     oh = _onehot_xy_win(mt, r0f, Y, W, jnp.float32)          # [S_blk, W]
 
