@@ -69,13 +69,20 @@ class MultiScaleDeformableAttention3D(nn.Module):
     # 'mxu' is the Pallas one-hot kernel (ops/trilerp.py) — the round-4 fix
     # for the serial XLA gather that was 95% of the flagship frame.
     gather_impl: str = "auto"
-    # windowed-kernel width for levels whose xy plane exceeds it: each
-    # 256-sample block matmuls a gather_window-row dynamic table slice
-    # instead of the full X*Y rows (queries are a flattened grid, so blocks
-    # are spatially local; an exact escape pass covers offset outliers).
-    # 640 covers x-offsets to ~±4.9 voxels on the 64x64 level (the radial
-    # init maxes at ±4).  0 disables (full-width one-hot).
-    gather_window: int = 640
+    # windowed-kernel width: each sample block matmuls a gather_window-row
+    # dynamic table slice instead of the full X*Y rows (queries are a
+    # flattened grid, so blocks are spatially local; an exact escape pass
+    # covers offset outliers).  -1 = measured per-level policy
+    # (.probe_trilerp_amortized.json, slope-timed on chip): XY/4 for the
+    # 64x64 level (w640 escapes on 88% of blocks — a 2-voxel x-jitter spans
+    # >10 rows of Y=64 — while w1024 stays local and runs 2.4x faster than
+    # full width), 640 for the 32x32 level, full width below.  An int >= 0
+    # forces that window on every level (0 = full-width one-hot).
+    gather_window: int = -1
+    # Pallas sample-block size.  -1 = measured per-level policy (512 on the
+    # 64x64 level, 1024 below — the per-grid-step overhead floor dominates
+    # the small levels, so fewer/bigger blocks win there).
+    gather_s_block: int = -1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -171,9 +178,17 @@ class MultiScaleDeformableAttention3D(nn.Module):
                         + v_levels[l][:, :hd, :1] * 0 \
                         + g[:, :1, :1].astype(self.dtype) * 0
                 elif use_mxu:
+                    xy = X * Y
+                    if self.gather_window >= 0:
+                        win = self.gather_window
+                    else:  # measured policy, see attribute doc
+                        win = xy // 4 if xy >= 4096 else (
+                            640 if xy >= 1024 else 0)
+                    sb = self.gather_s_block if self.gather_s_block > 0 \
+                        else (512 if xy >= 4096 else 1024)
                     s = trilerp_gather_slab(
                         v_levels[l], (X, Y, Z), hd, g, align_corners=False,
-                        interpret=interp, window=self.gather_window,
+                        interpret=interp, window=win, s_block=sb,
                     )  # [B*H, hd, nq*P]
                 else:
                     s = grid_sample_3d_cfirst(

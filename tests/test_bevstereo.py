@@ -73,6 +73,7 @@ def _torch_homo_warp(feat_nchw, key_int, swp_int, s2s, key_ida, swp_ida,
     return out.view(bn, ch, num_depth, h, w).numpy()
 
 
+@pytest.mark.quick
 def test_k_list_matches_reference_formula():
     ks = depth_sampling_k_list(3.0, 3)
     assert len(ks) == 3

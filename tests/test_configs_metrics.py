@@ -20,6 +20,7 @@ CONFIGS = [
 
 
 @pytest.mark.parametrize("name", CONFIGS)
+@pytest.mark.quick
 def test_config_loads_and_translates(name):
     cfg = load_config(os.path.join(CFG_DIR, name))
     assert cfg["model"]["type"] == "OccupancyFormer"
@@ -100,6 +101,7 @@ def test_panoptic_config_ships_full_density_feature_readout():
     assert lc.gt_chunks == 2
 
 
+@pytest.mark.quick
 def test_ssc_metrics_golden():
     m = SSCMetrics(3)
     pred = np.array([[0, 1, 2, 1], [0, 0, 2, 2]])

@@ -65,6 +65,7 @@ class TorchResNet18(nn.Module):
         return outs
 
 
+@pytest.mark.quick
 def test_resnet18_conversion_numeric_parity(rng):
     torch.manual_seed(0)
     tm = TorchResNet18().eval()

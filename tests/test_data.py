@@ -31,6 +31,7 @@ def _oracle_voxelize(points, labels, grid_size, pcr, empty_id):
     return out
 
 
+@pytest.mark.quick
 def test_majority_vote_voxelize_matches_oracle(rng):
     grid = (8, 8, 4)
     pcr = [-4, -4, -2, 4, 4, 2]

@@ -103,6 +103,7 @@ def _build_nusc_dataset(tmp_path, train):
     return ds, cfg
 
 
+@pytest.mark.quick
 def test_nuscenes_train_pipeline_from_disk(tmp_path):
     ds, cfg = _build_nusc_dataset(tmp_path, train=True)
     assert len(ds) == 1

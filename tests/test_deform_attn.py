@@ -4,6 +4,7 @@ The oracle re-implements the sampling+weighting math of the reference's
 pure-torch path (multi_scale_deform_attn_3d.py:17-80) directly with torch
 grid_sample, in OUR coordinate convention, to pin down the gather-lerp core.
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -39,6 +40,7 @@ def _torch_core(value, shapes, locs, weights):
     return out.reshape(B, Nq, H * hd)
 
 
+@pytest.mark.quick
 def test_deform_attn_core_matches_torch(rng):
     B, H, hd, Nq, L, P = 2, 4, 8, 10, 2, 3
     shapes = [(4, 5, 3), (2, 3, 2)]
@@ -124,8 +126,6 @@ def test_query_chunking_matches_unchunked():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
 
-
-import pytest
 
 
 @pytest.mark.quick

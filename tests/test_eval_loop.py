@@ -11,6 +11,7 @@ import tiny_cfg
 
 
 @pytest.mark.slow
+@pytest.mark.quick
 def test_evaluate_accumulates_metrics():
     cfg = tiny_cfg.model_cfg()
     model = OccupancyFormer(

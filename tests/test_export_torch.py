@@ -41,6 +41,7 @@ def _tiny_model_and_sd():
     return variables, sd
 
 
+@pytest.mark.quick
 def test_export_roundtrip_bit_exact():
     variables, sd = _tiny_model_and_sd()
     conv = convert_occformer(sd)

@@ -14,6 +14,7 @@ import pytest
 from occformer_tpu.utils.flops import count_flops, mfu
 
 
+@pytest.mark.quick
 def test_matmul():
     r = count_flops(lambda a, b: a @ b,
                     jnp.zeros((8, 16)), jnp.zeros((16, 32)))
@@ -56,6 +57,7 @@ def test_scatter_add_counts_updates():
     assert r["scatter"] == 7 * 4
 
 
+@pytest.mark.quick
 def test_grad_includes_backward():
     # d(xW)/dW backward adds two more matmuls of the same size: 3x fwd
     W = jnp.zeros((16, 16))

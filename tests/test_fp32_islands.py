@@ -46,6 +46,7 @@ def _voxel_scores(model, variables, batch):
     return np.asarray(scores, np.float64), out
 
 
+@pytest.mark.quick
 def test_fp32_island_flag_and_bf16_bound():
     batch = tiny_cfg.make_batch(np.random.RandomState(0))
     m32 = _build(jnp.float32)

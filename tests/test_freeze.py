@@ -8,6 +8,7 @@ Here freezing = optax mask that zeroes those updates (engine/optim.py).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from occformer_tpu.engine.optim import backbone_freeze_mask, build_optimizer
 
@@ -30,6 +31,7 @@ def _tiny_params():
     }
 
 
+@pytest.mark.quick
 def test_freeze_mask_paths():
     params = _tiny_params()
     mask = backbone_freeze_mask(

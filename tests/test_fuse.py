@@ -6,11 +6,13 @@ rounding only) while making every fused BN an exact add.
 """
 import jax
 import numpy as np
+import pytest
 
 from occformer_tpu.engine.fuse import fuse_conv_bn
 from occformer_tpu.models.resnet import ResNet
 
 
+@pytest.mark.quick
 def test_resnet_fused_outputs_match():
     model = ResNet(depth=18, out_indices=(0, 1, 2, 3))
     x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)

@@ -7,6 +7,7 @@ ViewTransformerLSSVoxel.py:77-100.
 """
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from occformer_tpu.ops import (
     compute_voxel_coords,
@@ -103,6 +104,7 @@ def test_get_geometry_kitti_3x4_intrinsics(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.quick
 def test_voxel_coords_and_scatter_match_oracle(rng):
     dx, bx, nx = gen_dx_bx(GRID["xbound"], GRID["ybound"], GRID["zbound"])
     B, P, C = 2, 500, 8

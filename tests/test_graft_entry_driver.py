@@ -3,11 +3,13 @@
 The round-1 driver artifact failed because ``dryrun_multichip`` asserted on
 device count instead of self-provisioning a virtual CPU mesh: the driver
 imports the module bare (no JAX_PLATFORMS / XLA_FLAGS setup) and calls the
+import pytest
 function directly, so the default backend (1 real TPU chip under axon) is
 what it sees.  This test reproduces that exact call path in a subprocess:
 no env hints, backend deliberately pre-initialized on the default platform,
 then ``dryrun_multichip(8)``.
 """
+import pytest
 import os
 import subprocess
 import sys
@@ -53,6 +55,7 @@ def _run(script):
     )
 
 
+@pytest.mark.quick
 def test_dryrun_multichip_self_provisions():
     out = _run(DRIVER_SCRIPT)
     assert out.returncode == 0, f"stderr:\n{out.stderr[-3000:]}"

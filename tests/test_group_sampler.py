@@ -42,6 +42,7 @@ def _host_batches(flags, batch_size, num_hosts, host_id, seed=0, epoch=0):
 FLAGS = [0] * 7 + [1] * 5  # uneven groups, neither divisible by bs*nh
 
 
+@pytest.mark.quick
 def test_batches_are_group_pure():
     flags = np.asarray(FLAGS)
     for host in range(2):

@@ -67,6 +67,7 @@ CONFIGS = [
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name,cfg_path", CONFIGS, ids=[c[0] for c in CONFIGS])
+@pytest.mark.quick
 def test_released_checkpoint_key_coverage(name, cfg_path):
     import sys
 

@@ -61,6 +61,7 @@ def _kitti_batch(rng, B=1):
 
 
 @pytest.mark.slow
+@pytest.mark.quick
 def test_kitti_style_forward():
     cfg = _kitti_model_cfg()
     model = OccupancyFormer(

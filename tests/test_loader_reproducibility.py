@@ -8,6 +8,7 @@ loaders with the same seed yield bit-identical batches and the draw for a
 sample does not depend on host count or step order.
 """
 import numpy as np
+import pytest
 
 from occformer_tpu.data.loader import ShardedLoader, pad_points
 
@@ -47,6 +48,7 @@ def _batches(seed, epoch=0, shuffle=True):
     return list(loader)
 
 
+@pytest.mark.quick
 def test_same_seed_identical_batches():
     a = _batches(seed=3)
     b = _batches(seed=3)

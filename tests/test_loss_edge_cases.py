@@ -529,3 +529,77 @@ def test_shared_candidate_readout_respects_align_corners(rng):
         for k in ls:
             np.testing.assert_allclose(float(ls[k]), float(lh[k]), rtol=1e-5,
                                        atol=1e-7, err_msg=f"ac={ac}: {k}")
+
+
+# ---- MXU volume readout (sorted windowed kernel, round 4) -------------------
+
+@pytest.mark.quick
+def test_mxu_readout_equivalent_losses_and_grads(rng):
+    """mxu_readout samples per-slot mask VOLUMES with the sorted windowed
+    Pallas kernel (interpret mode on CPU) instead of the feature-space XLA
+    readout.  Same linearity identity, opposite evaluation side — losses and
+    (emb, feature) grads must agree with the feature path to f32 rounding.
+    Candidates are row-SORTED inside the mxu path; equality holds because
+    every consumer reduces over points or indexes consistently."""
+    import dataclasses
+
+    cfg_feat = dataclasses.replace(
+        _cfg(use_lidar=True), feature_readout=True, mxu_readout="off")
+    cfg_mxu = dataclasses.replace(cfg_feat, mxu_readout="interpret")
+    cls, emb, feat = _outputs(rng)
+    gt = jnp.asarray(rng.randint(0, 4, (1, 16, 16, 8)).astype(np.int32))
+    lidar = jnp.asarray((rng.rand(1, 32, 3) * 1.2 - 0.1).astype(np.float32))
+    valid = jnp.ones((1, 32), bool)  # some points out of [0,1]: border path
+
+    def run(cfg, emb_, feat_):
+        return mask2former_loss(jax.random.PRNGKey(13), cls, emb_, feat_, gt,
+                                cfg, lidar_xyz=lidar, lidar_valid=valid)
+
+    lf = run(cfg_feat, emb, feat)
+    lm = run(cfg_mxu, emb, feat)
+    assert set(lf) == set(lm)
+    for k in lf:
+        np.testing.assert_allclose(float(lm[k]), float(lf[k]), rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
+
+    def grads(cfg):
+        return jax.grad(lambda a: sum(run(cfg, *a).values()))((emb, feat))
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(cfg_mxu)),
+                    jax.tree_util.tree_leaves(grads(cfg_feat))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_mxu_readout_panoptic_slots(rng):
+    """mxu path at the panoptic slot structure (>40 packed channels forces
+    the channel-chunked packed sampler) stays finite and matches the
+    feature path."""
+    import dataclasses
+
+    from occformer_tpu.losses.mask2former_loss import preprocess_panoptic_gt
+
+    cfg_feat = dataclasses.replace(
+        _cfg(use_lidar=True), feature_readout=True, mxu_readout="off",
+        panoptic=True)
+    cfg_mxu = dataclasses.replace(cfg_feat, mxu_readout="interpret")
+    cls, emb, feat = _outputs(rng, Q=8)
+    ids = np.arange(4) * 1000 + np.array([0, 1, 0, 2])
+    gt = jnp.asarray(ids[rng.randint(0, 4, (1, 8, 8, 4))].astype(np.int32))
+    pan_ids = jnp.asarray(
+        np.pad(ids, (0, 44), constant_values=-1)[None])  # 48 padded slots
+    gt_masks, gt_labels, gt_valid = preprocess_panoptic_gt(gt, pan_ids, 4)
+    lidar = jnp.asarray(rng.rand(1, 32, 3).astype(np.float32))
+    valid = jnp.ones((1, 32), bool)
+
+    def run(cfg):
+        return mask2former_loss(
+            jax.random.PRNGKey(3), cls, emb, feat, gt, cfg,
+            lidar_xyz=lidar, lidar_valid=valid,
+            gt_override=(gt_masks, gt_labels, gt_valid))
+
+    lf, lm = run(cfg_feat), run(cfg_mxu)
+    for k in lf:
+        assert np.isfinite(float(lm[k])), k
+        np.testing.assert_allclose(float(lm[k]), float(lf[k]), rtol=1e-4,
+                                   atol=1e-6, err_msg=k)

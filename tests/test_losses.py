@@ -38,6 +38,7 @@ def _torch_cost(cls_score, mask_pred, gt_labels, gt_points, wc=2.0, wm=5.0, wd=5
     return (wc * cls_cost + wm * mask_cost + wd * dice_cost).numpy()
 
 
+@pytest.mark.quick
 def test_matching_cost_matches_torch(rng):
     Q, G, P, C = 10, 4, 32, 5
     cls_score = rng.randn(Q, C + 1).astype(np.float32)
@@ -65,6 +66,7 @@ def test_matching_cost_invalid_columns(rng):
     assert np.all(np.asarray(cost)[:, 1] == BIG_COST)
 
 
+@pytest.mark.quick
 def test_hungarian_matches_scipy(rng):
     from scipy.optimize import linear_sum_assignment
 

@@ -25,6 +25,7 @@ def model_and_params():
     return model, variables, batch
 
 
+@pytest.mark.quick
 def test_forward_shapes(model_and_params):
     model, variables, batch = model_and_params
     out = jax.jit(lambda v, b: model.apply(v, b))(variables, batch)

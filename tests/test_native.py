@@ -20,6 +20,7 @@ def lib():
     return lib
 
 
+@pytest.mark.quick
 def test_native_majority_vote_matches_numpy(lib, rng):
     grid = (8, 8, 4)
     pcr = [-4, -4, -2, 4, 4, 2]

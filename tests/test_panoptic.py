@@ -1,9 +1,11 @@
 """PanopticEval golden tests + panoptic formatting behavior."""
 import numpy as np
+import pytest
 
 from occformer_tpu.utils.panoptic import PanopticEval, format_panoptic_results
 
 
+@pytest.mark.quick
 def test_panoptic_eval_perfect_prediction():
     ev = PanopticEval(n_classes=4, ignore=(0,), min_points=1)
     sem = np.array([1, 1, 2, 2, 3, 3, 3])

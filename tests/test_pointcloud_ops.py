@@ -27,6 +27,7 @@ from occformer_tpu.ops.pointcloud import (
 )
 
 
+@pytest.mark.quick
 def test_dynamic_voxelize(rng):
     pts = rng.uniform(-5, 5, (100, 4)).astype(np.float32)
     valid = np.ones(100, bool)

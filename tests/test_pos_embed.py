@@ -36,6 +36,7 @@ def _torch_oracle(shape, num_feats, temperature=10000.0, scale=2 * math.pi,
 
 
 @pytest.mark.parametrize("shape,num_feats", [((5, 4, 3), 6), ((8, 8, 2), 16)])
+@pytest.mark.quick
 def test_sine_pos_encoding_matches_reference(shape, num_feats):
     ours = sine_positional_encoding_3d(shape, num_feats)
     ref = _torch_oracle(shape, num_feats)

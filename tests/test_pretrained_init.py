@@ -80,6 +80,7 @@ def _assert_backbone_covered(rep):
 
 
 @pytest.mark.slow
+@pytest.mark.quick
 def test_r50_torchvision_init_coverage():
     variables, cfg = _abstract_variables(
         "occformer_tpu/configs/occformer_nusc_r50_256x704.py")

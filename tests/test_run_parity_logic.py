@@ -45,6 +45,7 @@ def _invoke(mod, monkeypatch, capsys, metrics, argv):
 CFG = "occformer_tpu/configs/occformer_nusc_r50_256x704.py"
 
 
+@pytest.mark.quick
 def test_pass_within_tolerance(monkeypatch, capsys):
     mod = _load_run_parity()
     # eval emits FRACTIONS (cm_to_ious); reference table is percent

@@ -36,6 +36,7 @@ def _torch_grid_sample_3d(vol_bxyzc, coords_bp3, align_corners, padding_mode):
 
 @pytest.mark.parametrize("align_corners", [False, True])
 @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.quick
 def test_grid_sample_3d_matches_torch(rng, align_corners, padding_mode):
     vol = rng.randn(2, 5, 6, 7, 3).astype(np.float32)
     coords = rng.uniform(-1.4, 1.4, size=(2, 50, 3)).astype(np.float32)

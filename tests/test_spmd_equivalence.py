@@ -30,6 +30,7 @@ def _stack_batches(b1, b2):
 
 
 @pytest.mark.slow
+@pytest.mark.quick
 def test_dp_sharded_step_matches_single_device():
     cfg = tiny_cfg.model_cfg()
     model = OccupancyFormer(

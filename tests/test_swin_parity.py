@@ -10,6 +10,7 @@ import numpy as np
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -124,6 +125,7 @@ def _run_case(shift, H, W, rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.quick
 def test_swin_block_parity_no_shift(rng):
     _run_case(False, 14, 14, rng)
 

@@ -10,6 +10,7 @@ from occformer_tpu.models.lss import shift_feature
 import tiny_cfg
 
 
+@pytest.mark.quick
 def test_shift_feature_identity():
     rng = np.random.RandomState(0)
     feat = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))

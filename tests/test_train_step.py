@@ -37,6 +37,7 @@ def _train_batch(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.quick
 def test_train_step_updates_params():
     cfg = tiny_cfg.model_cfg()
     model = OccupancyFormer(

@@ -224,3 +224,41 @@ def test_bf16_table():
         interpret=True)).astype(np.float32)
     want = np.asarray(_xla(vol, coords))
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+# ---- border padding (loss-path semantics, round 4) --------------------------
+
+@pytest.mark.quick
+@pytest.mark.parametrize("window", [0, 32])
+def test_border_padding_matches_xla(window):
+    """padding_mode='border' == clamping unnormalized coords to [0, N-1]
+    (per-corner index clamping of torch grid_sample).  The loss samples
+    out-of-range LiDAR points with border padding
+    (reference mask2former_nusc_occ.py:244-249)."""
+    vol, coords = _rand(0.8, S=96, seed=7)
+    got = np.asarray(trilerp_gather_slab(
+        cfirst_to_slab(vol, SPATIAL), SPATIAL, C, coords, s_block=32,
+        interpret=True, window=window, padding_mode="border"))
+    want = np.asarray(grid_sample_3d_cfirst(
+        vol, SPATIAL, coords, padding_mode="border"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_border_padding_grads_match_xla():
+    vol, coords = _rand(0.8, S=64, seed=8)
+
+    def lk(v, c):
+        out = trilerp_gather_slab(cfirst_to_slab(v, SPATIAL), SPATIAL, C, c,
+                                  s_block=32, interpret=True,
+                                  padding_mode="border")
+        return jnp.sum(jnp.sin(out))
+
+    def lx(v, c):
+        return jnp.sum(jnp.sin(grid_sample_3d_cfirst(
+            v, SPATIAL, c, padding_mode="border")))
+
+    gk = jax.grad(lk, (0, 1))(vol, coords)
+    gx = jax.grad(lx, (0, 1))(vol, coords)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
