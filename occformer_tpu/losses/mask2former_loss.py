@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.loss_gather import (
+    sample_per_slot,
+    sample_volumes_packed,
+    sort_points_by_row,
+)
 from ..ops.sampling import point_sample_3d
 from .matching import auction_match, mask_matching_cost
 from .point_sampling import (
@@ -115,6 +120,17 @@ class MaskLossConfig:
     # Round-4 perf: the per-slot readout was 0.24 s/layer fwd+bwd on chip
     # (.probe_loss_gathers.json B) vs ~free for shared-coord gathers (A/D).
     shared_candidate_readout: bool = True
+    # MXU volume readout (round 4, lidar-point + feature_readout heads):
+    # sample per-slot mask VOLUMES (``emb . feature`` einsum — identical
+    # math by the same linearity as feature_readout, evaluated on the other
+    # side) with the SORTED windowed Pallas kernel (ops/loss_gather.py):
+    # slots with shared candidate coords pack into the kernel's channel
+    # axis, so candidate scoring is one kernel call; per-slot random-fill
+    # points sample 2-channel (pred, gt) per-slot slabs.  Replaces every
+    # XLA corner-gather in the supervision path with MXU matmuls.
+    # 'auto' = on when running on TPU; 'interpret' = kernel in interpreter
+    # mode (CPU test coverage); 'off' = the round-3 XLA readout.
+    mxu_readout: str = "auto"
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
@@ -202,7 +218,27 @@ def _match_single_sample(
 
     if cfg.use_lidar_points:
         pts = _matching_points_nusc(r_match, lidar_xyz, lidar_valid, cfg)
-        if cfg.feature_readout:
+        mxu_ro = _resolve_mxu_readout(cfg) if cfg.feature_readout else "off"
+        if mxu_ro != "off":
+            # whole matching block is detached: score every query's mask
+            # volume at the shared (sorted) match points with channel-packed
+            # kernel calls.  bf16 volumes — the cost matrix tolerates bf16
+            # noise (the reference computes it under fp16 AMP) and f32
+            # tables at Q=100 packed channels would not fit a VMEM block.
+            X, Y, Z = feature.shape[:3]
+            pts_s = sort_points_by_row(pts, (X, Y, Z))
+            q_vol = jnp.einsum(
+                "qc,xyzc->qxyz", mask_embed.astype(jnp.bfloat16),
+                feature.astype(jnp.bfloat16))  # [Q, X, Y, Z]
+            mask_pts_pred = sample_volumes_packed(
+                q_vol, pts_s, cfg.align_corners, cfg.padding_mode,
+                interpret=(mxu_ro == "interpret"),
+            ).T.astype(jnp.float32)  # [Q, P]
+            gt_pts = sample_volumes_packed(
+                gt_masks.astype(jnp.float32), pts_s, cfg.align_corners,
+                cfg.padding_mode, interpret=(mxu_ro == "interpret"),
+            ).T  # [G, P] soft
+        elif cfg.feature_readout:
             # emb . point_sample(feature) == point_sample(emb . feature):
             # one [P, C] gather + a [Q, C] x [C, P] matmul instead of a
             # [Q, X, Y, Z] volume materialization + per-query sampling
@@ -218,10 +254,11 @@ def _match_single_sample(
                 mask_pred.transpose(1, 2, 3, 0)[None], pts[None],
                 align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
             )[0].T  # [Q, P]
-        gt_pts = point_sample_3d(
-            gt_masks.transpose(1, 2, 3, 0)[None], pts[None],
-            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
-        )[0].T  # [G, P] soft
+        if mxu_ro == "off":
+            gt_pts = point_sample_3d(
+                gt_masks.transpose(1, 2, 3, 0)[None], pts[None],
+                align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+            )[0].T  # [G, P] soft
     else:
         idx, coords = sample_with_frequencies(
             r_match, gt_masks, gt_labels, gt_valid, sample_weights,
@@ -241,6 +278,81 @@ def _match_single_sample(
     # device-side auction assignment: the TPU backend here rejects host
     # callbacks, and an on-device solve also avoids a per-layer host sync
     return auction_match(cost, gt_valid)  # [G], -1 for invalid
+
+
+def _resolve_mxu_readout(cfg: MaskLossConfig) -> str:
+    """'auto' -> 'on' on TPU, 'off' elsewhere (the interpreter kernel is
+    correct but slow on CPU; tests opt in with 'interpret')."""
+    if cfg.mxu_readout == "auto":
+        return "on" if jax.default_backend() == "tpu" else "off"
+    assert cfg.mxu_readout in ("on", "off", "interpret"), cfg.mxu_readout
+    return cfg.mxu_readout
+
+
+def _sup_points_mxu(cand, rand_all, assign_q, gt_masks, mask_embed, feature,
+                    cfg: MaskLossConfig, interpret: bool):
+    """Supervision readout via per-slot mask VOLUMES + the sorted windowed
+    MXU kernel (ops/loss_gather.py).  Same math as the shared-candidate
+    feature readout: trilinear sampling is linear in voxel values, so
+    point_sample(emb . feature, p) == emb . point_sample(feature, p); here
+    the LEFT side is evaluated with channel-packed kernel calls (f32 tables
+    -> the kernel's 6-pass f32 MXU mode, matching the feature path's f32
+    contraction accuracy).  Returns (sup_pred [G, num_points], sup_tgt).
+
+    Candidate points arrive UNsorted and are sorted here by slab row; every
+    consumer is order-consistent (top-k indices select from the same sorted
+    arrays; losses reduce over points), so no unsort exists.
+    """
+    Q = mask_embed.shape[0]
+    X, Y, Z, _ = feature.shape
+    spatial = (X, Y, Z)
+    emb_g = mask_embed[jnp.clip(assign_q, 0, Q - 1)]  # [G, C]
+    # HIGHEST: a default-precision (bf16-pass) volume would inject ~1e-3
+    # rel noise into every sampled logit; 6-pass f32 costs ~nothing at
+    # [G, X*Y*Z] x C and keeps the path bit-comparable to the f32 feature
+    # readout (tests/test_loss_edge_cases.py::test_mxu_readout_equivalent*)
+    vol = jnp.einsum("gc,xyzc->gxyz", emb_g.astype(jnp.float32),
+                     feature.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)  # [G, X, Y, Z]
+    gt_f = jax.lax.stop_gradient(gt_masks.astype(jnp.float32))
+
+    cand_s = sort_points_by_row(cand, spatial)
+    # selection scores: reference scores candidates at grid_sample's default
+    # align_corners=False (get_nusc_lidarseg_point_coords)
+    cand_logits = sample_volumes_packed(
+        vol, cand_s, False, cfg.padding_mode, interpret=interpret).T  # [G, S]
+    if cfg.align_corners is False:
+        cand_logits_sup = cand_logits
+    else:
+        cand_logits_sup = sample_volumes_packed(
+            vol, cand_s, True, cfg.padding_mode, interpret=interpret).T
+    gt_cand = jax.lax.stop_gradient(sample_volumes_packed(
+        gt_f, cand_s, cfg.align_corners, cfg.padding_mode,
+        interpret=interpret)).T  # [G, S]
+
+    n_unc = int(cfg.importance_sample_ratio * cfg.num_points)
+    idx = uncertainty_topk(jax.lax.stop_gradient(cand_logits), n_unc)
+    sup_pred = jnp.take_along_axis(cand_logits_sup, idx, axis=1)
+    sup_tgt = jnp.take_along_axis(gt_cand, idx, axis=1)
+    if rand_all is not None and rand_all.shape[1] > 0:
+        rand_s = sort_points_by_row(rand_all, spatial)
+        if gt_f.shape[1:] == vol.shape[1:]:
+            # pred + target share the grid: one 2-channel per-slot gather
+            both = jnp.stack([vol, gt_f], axis=-1)  # [G, X, Y, Z, 2]
+            pt = sample_per_slot(both, rand_s, cfg.align_corners,
+                                 cfg.padding_mode, interpret=interpret)
+            pred_rand, tgt_rand = pt[..., 0], pt[..., 1]
+        else:  # gt labels at their own (finer) grid
+            pred_rand = sample_per_slot(
+                vol[..., None], rand_s, cfg.align_corners,
+                cfg.padding_mode, interpret=interpret)[..., 0]
+            tgt_rand = sample_per_slot(
+                gt_f[..., None], rand_s, cfg.align_corners,
+                cfg.padding_mode, interpret=interpret)[..., 0]
+        sup_pred = jnp.concatenate([sup_pred, pred_rand], axis=1)
+        sup_tgt = jnp.concatenate(
+            [sup_tgt, jax.lax.stop_gradient(tgt_rand)], axis=1)
+    return sup_pred, jax.lax.stop_gradient(sup_tgt)
 
 
 def _loss_single_sample(
@@ -304,6 +416,24 @@ def _loss_single_sample(
         # bit-transparent (same single rng draw regardless of chunking)
         rand_all = jax.random.uniform(r_sup2, (G, n_rand, 3), jnp.float32) \
             if n_rand > 0 else None
+
+        mxu_ro = _resolve_mxu_readout(cfg) if cfg.feature_readout else "off"
+        if mxu_ro != "off":
+            sup_pred, sup_tgt = _sup_points_mxu(
+                cand, rand_all, assign_q, gt_masks, mask_embed, feature,
+                cfg, interpret=(mxu_ro == "interpret"))
+            mask_num = jnp.sum(
+                _bce_elem(sup_pred, sup_tgt) * (gt_w[:, None] > 0))
+            mask_avg = jnp.sum(gt_w) * cfg.num_points
+            pred_sig = jax.nn.sigmoid(sup_pred.astype(jnp.float32))
+            a = jnp.sum(pred_sig * sup_tgt, axis=-1)
+            b = jnp.sum(pred_sig, axis=-1) + jnp.sum(sup_tgt, axis=-1)
+            dice_rows = 1.0 - (2 * a + cfg.dice_eps) / (b + cfg.dice_eps)
+            return dict(
+                cls_num=cls_num, cls_avg=cls_avg,
+                mask_num=mask_num, mask_avg=mask_avg,
+                dice_num=jnp.sum(dice_rows * gt_w), dice_avg=jnp.sum(gt_w),
+            )
 
         shared_ro = cfg.feature_readout and cfg.shared_candidate_readout
         if cfg.feature_readout:

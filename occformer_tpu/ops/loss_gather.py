@@ -1,0 +1,129 @@
+"""Sorted windowed MXU gathers for the Mask2Former loss readouts.
+
+Round-3/4 located the train step's second hot spot (after the deform-attn
+gathers) in the loss point sampling: each decoder layer's loss samples the
+mask/feature volumes at ~150k candidate + ~213k per-slot random points
+through XLA `take_along_axis` corner gathers (~2 GB/s effective,
+.probe_loss_gathers.json: the per-slot feature readout alone is ~78 ms fwd /
+~213 ms fwd+bwd per layer, x10 deep-supervision layers).
+
+TPU-native reformulation on top of ``ops.trilerp`` (the one-hot MXU kernel):
+
+  * sample per-slot mask VOLUMES (``emb . feature`` einsum, [G, X*Y*Z] —
+    18 MB, trivial MXU work) instead of 192-channel feature vectors — the
+    readout becomes a 1-2 channel gather per slot, and slots with SHARED
+    coordinates pack into the kernel's channel axis (lane groups), so the
+    whole candidate scoring of every slot is ONE kernel call;
+  * the loss points are random (not spatially local like deform-attn
+    queries), so SORT them by xy slab row first — the points are
+    exchangeable (losses reduce over them; selections index consistently),
+    so no unsort is ever needed — and the windowed kernel's per-block
+    dynamic table slice applies: FLOPs drop by window/XY with the exact
+    full-width escape pass covering density outliers;
+  * gradients flow through the kernel's matmul-based custom VJP — there is
+    NO XLA trilinear backward-scatter in the program, the op family behind
+    the round-2 exec-2 backend fault (NOTES.md "Panoptic full-point
+    training").
+
+Reference semantics matched: torch ``point_sample`` = ``F.grid_sample``
+bilinear/trilinear, align_corners per call site
+(projects/mmdet3d_plugin/occformer/mask2former/base/mmdet_utils.py:21-47).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import _unnormalize
+from .trilerp import trilerp_gather_slab
+
+_S_BLOCK = 256  # tall-table kernel block: keeps the escape-pass VMEM
+# (onehot + m2 at [S_blk, XY] f32) within the 100M compiler cap at XY=16384
+
+
+def row_key(pts01: jnp.ndarray, spatial: Tuple[int, int, int],
+            align_corners: bool = False) -> jnp.ndarray:
+    """[..., S, 3] points in [0, 1] -> f32 slab-row key (x0 * Y + y0)."""
+    X, Y, _ = spatial
+    cx = _unnormalize(pts01[..., 0].astype(jnp.float32) * 2.0 - 1.0, X,
+                      align_corners)
+    cy = _unnormalize(pts01[..., 1].astype(jnp.float32) * 2.0 - 1.0, Y,
+                      align_corners)
+    # clamp to the border-padded corner range so out-of-volume points sort
+    # next to the edge rows they actually read
+    return (jnp.clip(jnp.floor(cx), 0, X - 1) * Y
+            + jnp.clip(jnp.floor(cy), 0, Y - 1))
+
+
+def sort_points_by_row(pts01: jnp.ndarray, spatial: Tuple[int, int, int],
+                       align_corners: bool = False) -> jnp.ndarray:
+    """Sort [S, 3] (or [..., S, 3]) points by slab row for gather locality.
+
+    The return is the sorted POINTS only: loss readouts never need the
+    permutation because every consumer either reduces over the point axis
+    or indexes the sorted arrays consistently (top-k, take_along)."""
+    keys = row_key(pts01, spatial, align_corners)
+    order = jnp.argsort(keys, axis=-1)
+    return jnp.take_along_axis(pts01, order[..., None], axis=-2)
+
+
+def _auto_window(XY: int, Y: int, S: int, s_block: int) -> int:
+    """Static window for sorted points: ~2x the expected per-block row span
+    plus the 4-corner row spread (Y + 2), 16-aligned, full width if the
+    saving would be marginal."""
+    span = 2 * ((s_block * XY) // max(S, 1)) + Y + 32
+    w = -(-span // 16) * 16
+    return 0 if w * 2 >= XY else w
+
+
+def pack_channels_slab(vols: jnp.ndarray) -> jnp.ndarray:
+    """[K, X, Y, Z] channel volumes -> [X*Y, Z*K] slab (z-major lanes)."""
+    K, X, Y, Z = vols.shape
+    return jnp.transpose(vols, (1, 2, 3, 0)).reshape(X * Y, Z * K)
+
+
+def sample_volumes_packed(vols: jnp.ndarray, pts01: jnp.ndarray,
+                          align_corners: bool = False,
+                          padding_mode: str = "border", *,
+                          interpret: bool = False,
+                          max_channels: int = 40) -> jnp.ndarray:
+    """Sample [K, X, Y, Z] channel volumes at SHARED sorted [S, 3] points.
+
+    Returns [S, K].  One kernel call scores every packed channel (e.g.
+    every gt slot's mask volume) at every candidate point; K is split into
+    <= max_channels chunks so one table block stays within VMEM (the
+    backward additionally holds two [X*Y, Z*K] f32 accumulators)."""
+    K, X, Y, Z = vols.shape
+    S = pts01.shape[0]
+    win = _auto_window(X * Y, Y, S, _S_BLOCK)
+    coords = (pts01 * 2.0 - 1.0)[None]
+    outs = []
+    for k0 in range(0, K, max_channels):
+        sub = vols[k0:k0 + max_channels]
+        out = trilerp_gather_slab(
+            pack_channels_slab(sub)[None], (X, Y, Z), sub.shape[0], coords,
+            align_corners, s_block=_S_BLOCK, interpret=interpret, window=win,
+            padding_mode=padding_mode,
+        )  # [1, k, S]
+        outs.append(out[0])
+    return jnp.transpose(jnp.concatenate(outs, axis=0))
+
+
+def sample_per_slot(vols: jnp.ndarray, pts01: jnp.ndarray,
+                    align_corners: bool = False,
+                    padding_mode: str = "border", *,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Sample per-slot [G, X, Y, Z, C] volumes at per-slot sorted [G, S, 3]
+    points.  Returns [G, S, C]."""
+    G, X, Y, Z, C = vols.shape
+    S = pts01.shape[1]
+    win = _auto_window(X * Y, Y, S, _S_BLOCK)
+    slabs = vols.reshape(G, X * Y, Z * C)
+    out = trilerp_gather_slab(
+        slabs, (X, Y, Z), C, pts01 * 2.0 - 1.0,
+        align_corners, s_block=_S_BLOCK, interpret=interpret, window=win,
+        padding_mode=padding_mode,
+    )  # [G, C, S]
+    return jnp.transpose(out, (0, 2, 1))

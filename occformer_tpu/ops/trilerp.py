@@ -53,17 +53,29 @@ _META_ROWS = 8
 
 
 def make_trilerp_meta(coords: jnp.ndarray, spatial: Tuple[int, int, int],
-                      align_corners: bool = False) -> jnp.ndarray:
+                      align_corners: bool = False,
+                      padding_mode: str = "zeros") -> jnp.ndarray:
     """coords [G, S, 3] in [-1, 1] -> meta [G, 8, S] f32 (see row table above).
 
     Differentiable w.r.t. coords (the fractional lerp weights carry the
     location gradient; floor/masks are zero-grad, matching grid_sample).
+
+    padding_mode='border' clamps the unnormalized coords to [0, N-1] before
+    the corner decomposition — exactly torch's per-corner index clamping
+    (the clamped coordinate reproduces both the boundary value and the zero
+    coordinate-gradient outside), so the KERNEL itself never changes.
     """
     X, Y, Z = spatial
     wt = jnp.float32
     cx = _unnormalize(coords[..., 0].astype(wt), X, align_corners)
     cy = _unnormalize(coords[..., 1].astype(wt), Y, align_corners)
     cz = _unnormalize(coords[..., 2].astype(wt), Z, align_corners)
+    if padding_mode == "border":
+        cx = jnp.clip(cx, 0.0, X - 1)
+        cy = jnp.clip(cy, 0.0, Y - 1)
+        cz = jnp.clip(cz, 0.0, Z - 1)
+    else:
+        assert padding_mode == "zeros", padding_mode
     x0 = jnp.floor(cx)
     y0 = jnp.floor(cy)
     z0 = jnp.floor(cz)
@@ -277,28 +289,51 @@ def _bwd_kernel_win(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
 
     @pl.when(esc)
     def _():
-        tbl = table_ref[0].astype(jnp.float32)
-        oh_e, outw = _onehot_xy_esc(mt, r0f, Y, XY, W, jnp.float32)
-        dtab_ref[0] += jax.lax.dot_general(
-            oh_e, d_slab, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        m2f = jax.lax.dot_general(
-            d_slab, tbl, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)  # [S_blk, XY]
-        iota_f = jax.lax.broadcasted_iota(
-            jnp.int32, (1, XY), 1).astype(jnp.float32)
-        df = iota_f - a
+        # full-width escape, CHUNKED over table rows: one [S_blk, XY] f32
+        # onehot/m2 surface at XY=16384 (the loss volumes) costs >128M VMEM
+        # in register spills — a fori_loop over Wc-row chunks keeps every
+        # surface [S_blk, Wc] while the per-sample accumulators ([S_blk, 4]
+        # corner-weight grads + [S_blk, ZC] escape slab) ride the carry.
+        Wc = min(XY, 2048)
+        S_blk = mt.shape[0]
+        rows_e, ws_e = _corner_rows_weights(mt, Y)
+        outw = ((rows_e < r0f) | (rows_e > r0f + float(W - 1))).astype(
+            jnp.float32)
+        w_out = ws_e * outw  # [S_blk, 4] escape-only corner weights
 
-        def pickf(v, c):
-            return jnp.sum(jnp.where(df == v, m2f, 0.0), axis=1,
-                           keepdims=True) * outw[:, c:c + 1]
+        def chunk(j, carry):
+            m2acc, slab_acc = carry
+            c0 = pl.multiple_of(j * Wc, 16)
+            tblc = table_ref[0, pl.ds(c0, Wc), :].astype(jnp.float32)
+            iota_c = jax.lax.broadcasted_iota(
+                jnp.int32, (1, Wc), 1).astype(jnp.float32) + c0.astype(
+                    jnp.float32)
+            dd = iota_c - a  # [S_blk, Wc]
+            oh_c = (
+                jnp.where(dd == 0.0, w_out[:, 0:1], 0.0)
+                + jnp.where(dd == 1.0, w_out[:, 1:2], 0.0)
+                + jnp.where(dd == float(Y), w_out[:, 2:3], 0.0)
+                + jnp.where(dd == float(Y + 1), w_out[:, 3:4], 0.0)
+            )
+            dtab_ref[0, pl.ds(c0, Wc), :] += jax.lax.dot_general(
+                oh_c, d_slab, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            m2c = jax.lax.dot_general(
+                d_slab, tblc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            m2p = jnp.concatenate(
+                [jnp.sum(jnp.where(dd == v, m2c, 0.0), axis=1, keepdims=True)
+                 for v in (0.0, 1.0, float(Y), float(Y + 1))], axis=1)
+            slab_c = jax.lax.dot_general(
+                oh_c, tblc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            return m2acc + m2p, slab_acc + slab_c
 
-        dwf = jnp.concatenate(
-            [pickf(0.0, 0), pickf(1.0, 1),
-             pickf(float(Y), 2), pickf(float(Y + 1), 3)], axis=1)
-        slab_e = jax.lax.dot_general(
-            oh_e, tbl, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        m2e, slab_e = jax.lax.fori_loop(
+            0, XY // Wc, chunk,
+            (jnp.zeros((S_blk, 4), jnp.float32),
+             jnp.zeros((S_blk, Z * C), jnp.float32)))
+        dwf = m2e * outw
         t1e = slab_e * d_masked
         dc0e = jnp.sum(jnp.where(zg == z0, t1e, 0.0), axis=1, keepdims=True)
         dc1e = jnp.sum(jnp.where(zg == z0 + 1.0, t1e, 0.0), axis=1,
@@ -393,6 +428,8 @@ def _build_op(X: int, Y: int, Z: int, C: int, s_block: int, interpret: bool,
     win = window if (window and window < XY) else 0
     if win:
         assert win % 16 == 0, f"window {win} must be sublane-tile aligned"
+        # chunked escape pass walks the table in min(XY, 2048)-row chunks
+        assert XY % min(XY, 2048) == 0, (X, Y)
         fwd_kernel = functools.partial(_fwd_kernel_win, W=win)
         bwd_kernel = functools.partial(_bwd_kernel_win, W=win)
     else:
@@ -477,12 +514,13 @@ def trilerp_gather_slab(
     s_block: int = 256,
     interpret: bool = False,
     window: int = 0,
+    padding_mode: str = "zeros",
 ) -> jnp.ndarray:
-    """Trilinear zeros-padding sampling via the MXU one-hot kernel.
+    """Trilinear sampling via the MXU one-hot kernel (zeros/border padding).
 
     table:  [G, X*Y, Z*C] value slab (xy rows, z-major lane groups of C)
     coords: [G, S, 3] in [-1, 1], coords[..., i] indexes spatial axis i
-    window: if 0 < window < X*Y, each 256-sample block matmuls only a
+    window: if 0 < window < X*Y, each sample block matmuls only a
       window-row dynamic table slice around its minimum live corner row
       (window/XY of the FLOPs), with an exact full-width escape pass for
       blocks whose sampling locations break locality.  0 = full width.
@@ -492,7 +530,7 @@ def trilerp_gather_slab(
     G, XY, ZC = table.shape
     assert XY == X * Y and ZC == Z * channels, (table.shape, spatial, channels)
     S = coords.shape[1]
-    meta = make_trilerp_meta(coords, spatial, align_corners)
+    meta = make_trilerp_meta(coords, spatial, align_corners, padding_mode)
     Sp = -(-S // s_block) * s_block
     if Sp != S:
         meta = jnp.pad(meta, ((0, 0), (0, 0), (0, Sp - S)))
