@@ -192,6 +192,41 @@ def _train_step_sec(cfg_path):
     return _fetch_sec(one, repeats=4)
 
 
+def _kernel_parity():
+    """On-chip compiled MXU-kernel vs XLA-gather parity at the production
+    window config (VERDICT r3 #6: the 194-test CPU suite only covers
+    interpret mode; this gate catches a Mosaic compile/runtime divergence
+    on the real chip).  Returns max |mxu - xla| over values and grads on a
+    decoder-shaped f32 problem (level-0 64x64x8, escape-heavy coords)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from occformer_tpu.ops.sampling import grid_sample_3d_cfirst
+    from occformer_tpu.ops.trilerp import cfirst_to_slab, trilerp_gather_slab
+
+    X, Y, Z, C, G, S = 64, 64, 8, 24, 8, 512
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.randn(G, C, X * Y * Z), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-1.2, 1.2, (G, S, 3)), jnp.float32)
+
+    def k(v, c):
+        return trilerp_gather_slab(cfirst_to_slab(v, (X, Y, Z)), (X, Y, Z),
+                                   C, c, window=640)
+
+    def x(v, c):
+        return grid_sample_3d_cfirst(v, (X, Y, Z), c)
+
+    err = float(jnp.max(jnp.abs(jax.jit(k)(vol, coords)
+                                - jax.jit(x)(vol, coords))))
+    gk = jax.jit(jax.grad(lambda v, c: jnp.sum(jnp.sin(k(v, c))),
+                          argnums=(0, 1)))(vol, coords)
+    gx = jax.jit(jax.grad(lambda v, c: jnp.sum(jnp.sin(x(v, c))),
+                          argnums=(0, 1)))(vol, coords)
+    gerr = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(gk, gx))
+    return max(err, gerr)
+
+
 _STAGE_PROGRAMS = {
     "flagship_train_step_sec": (
         "full train step (fwd+bwd+AdamW) of occformer_nusc_r50_256x704, "
@@ -202,6 +237,10 @@ _STAGE_PROGRAMS = {
     "r101_infer_fps": (
         "full inference fwd of occformer_nusc_r101_896x1600 (6 cams), "
         "scalar checksum fetched"),
+    "mxu_kernel_parity_max_abs_err": (
+        "compiled Pallas trilerp (window=640) vs XLA grid_sample_3d_cfirst, "
+        "values + table/coord grads, f32, 64x64x8 level, escape-heavy "
+        "coords in [-1.2, 1.2]"),
 }
 
 
@@ -226,6 +265,8 @@ def _stage_main(name):
         elif name == "r101_infer_fps":
             val, rep = _infer_fps(
                 "occformer_tpu/configs/occformer_nusc_r101_896x1600.py")[0], REPEATS
+        elif name == "mxu_kernel_parity_max_abs_err":
+            val, rep = _kernel_parity(), 1
         else:
             raise ValueError(f"unknown stage {name!r}")
         print(json.dumps({name: round(val, 4),
@@ -338,7 +379,8 @@ def main():
 
         for name, need in (("flagship_train_step_sec", 900),
                            ("kitti_b7_infer_fps", 700),
-                           ("r101_infer_fps", 700)):
+                           ("r101_infer_fps", 700),
+                           ("mxu_kernel_parity_max_abs_err", 300)):
             if _remaining() < need:
                 notes.append(f"{name} skipped: {_remaining():.0f}s left "
                              f"< {need}s stage budget")
@@ -360,6 +402,9 @@ def main():
                         provenance[name] = got["provenance"]
             except Exception as e:  # noqa: BLE001
                 notes.append(f"{name} failed: {type(e).__name__}: {e}")
+        perr = extra.get("mxu_kernel_parity_max_abs_err")
+        if perr is not None and perr > 1e-3:
+            notes.append(f"MXU kernel ON-CHIP PARITY MISMATCH: {perr}")
         if "flagship_train_step_sec" in extra and \
                 "analytic_train_tflop_per_step" in extra:
             extra["train_e2e_mfu"] = round(

@@ -126,10 +126,19 @@ class MaskLossConfig:
     # side) with the SORTED windowed Pallas kernel (ops/loss_gather.py):
     # slots with shared candidate coords pack into the kernel's channel
     # axis, so candidate scoring is one kernel call; per-slot random-fill
-    # points sample 2-channel (pred, gt) per-slot slabs.  Replaces every
-    # XLA corner-gather in the supervision path with MXU matmuls.
-    # 'auto' = on when running on TPU; 'interpret' = kernel in interpreter
-    # mode (CPU test coverage); 'off' = the round-3 XLA readout.
+    # points sample per-slot slabs.  Replaces the PRED-side XLA
+    # corner-gathers with MXU matmuls (GT reads stay on the XLA path:
+    # shared-coord multi-channel gathers were already ~free there,
+    # .probe_loss_gathers.json D).
+    # 'auto' currently resolves OFF everywhere: every kernel call is fast
+    # in isolation (candidate scoring 2.6/5.7 ms fwd/fwd+bwd,
+    # .probe_loss_mxu.json) but COMPOSED inside the rematerialized
+    # deep-supervision scan the custom calls act as scheduling barriers —
+    # full loss grad 1.36 s vs 1.10 s pure-XLA (.probe_loss_full.json);
+    # XLA pipelines its own gathers across the layer scan but cannot
+    # overlap around opaque custom calls.  'on'/'interpret' keep the path
+    # alive (tests/test_loss_edge_cases.py::test_mxu_readout_*) for a
+    # future round (fewer/larger kernel calls per layer is the lever).
     mxu_readout: str = "auto"
 
 
@@ -234,10 +243,11 @@ def _match_single_sample(
                 q_vol, pts_s, cfg.align_corners, cfg.padding_mode,
                 interpret=(mxu_ro == "interpret"),
             ).T.astype(jnp.float32)  # [Q, P]
-            gt_pts = sample_volumes_packed(
-                gt_masks.astype(jnp.float32), pts_s, cfg.align_corners,
-                cfg.padding_mode, interpret=(mxu_ro == "interpret"),
-            ).T  # [G, P] soft
+            # gt read on the XLA path (finer grid; see _sup_points_mxu)
+            gt_pts = point_sample_3d(
+                gt_masks.transpose(1, 2, 3, 0)[None].astype(jnp.float32),
+                pts_s[None], align_corners=cfg.align_corners,
+                padding_mode=cfg.padding_mode)[0].T  # [G, P] soft
         elif cfg.feature_readout:
             # emb . point_sample(feature) == point_sample(emb . feature):
             # one [P, C] gather + a [Q, C] x [C, P] matmul instead of a
@@ -281,10 +291,11 @@ def _match_single_sample(
 
 
 def _resolve_mxu_readout(cfg: MaskLossConfig) -> str:
-    """'auto' -> 'on' on TPU, 'off' elsewhere (the interpreter kernel is
-    correct but slow on CPU; tests opt in with 'interpret')."""
+    """'auto' -> 'off' (see MaskLossConfig.mxu_readout: the composed-in-scan
+    kernel path measures slower than the XLA feature readout despite faster
+    isolated kernels); tests opt in with 'interpret', chips with 'on'."""
     if cfg.mxu_readout == "auto":
-        return "on" if jax.default_backend() == "tpu" else "off"
+        return "off"
     assert cfg.mxu_readout in ("on", "off", "interpret"), cfg.mxu_readout
     return cfg.mxu_readout
 
@@ -326,9 +337,16 @@ def _sup_points_mxu(cand, rand_all, assign_q, gt_masks, mask_embed, feature,
     else:
         cand_logits_sup = sample_volumes_packed(
             vol, cand_s, True, cfg.padding_mode, interpret=interpret).T
-    gt_cand = jax.lax.stop_gradient(sample_volumes_packed(
-        gt_f, cand_s, cfg.align_corners, cfg.padding_mode,
-        interpret=interpret)).T  # [G, S]
+    # GT reads stay on the XLA gather path: shared-coordinate multi-channel
+    # gathers measured ~free there (.probe_loss_gathers.json D), while the
+    # kernel at the FINER gt grid (256x256x32, XY=65536) pays f32 6-pass
+    # window matmuls + tail escapes — the 7.5 s/loss-grad regression of the
+    # first all-kernel cut (.probe_gtgrid.json).  Only pred-volume reads
+    # (the measured-slow family) use the kernel.
+    gt_cand = jax.lax.stop_gradient(point_sample_3d(
+        jnp.moveaxis(gt_f, 0, -1)[None], cand_s[None],
+        align_corners=cfg.align_corners,
+        padding_mode=cfg.padding_mode)[0]).T  # [G, S]
 
     n_unc = int(cfg.importance_sample_ratio * cfg.num_points)
     idx = uncertainty_topk(jax.lax.stop_gradient(cand_logits), n_unc)
@@ -336,19 +354,13 @@ def _sup_points_mxu(cand, rand_all, assign_q, gt_masks, mask_embed, feature,
     sup_tgt = jnp.take_along_axis(gt_cand, idx, axis=1)
     if rand_all is not None and rand_all.shape[1] > 0:
         rand_s = sort_points_by_row(rand_all, spatial)
-        if gt_f.shape[1:] == vol.shape[1:]:
-            # pred + target share the grid: one 2-channel per-slot gather
-            both = jnp.stack([vol, gt_f], axis=-1)  # [G, X, Y, Z, 2]
-            pt = sample_per_slot(both, rand_s, cfg.align_corners,
-                                 cfg.padding_mode, interpret=interpret)
-            pred_rand, tgt_rand = pt[..., 0], pt[..., 1]
-        else:  # gt labels at their own (finer) grid
-            pred_rand = sample_per_slot(
-                vol[..., None], rand_s, cfg.align_corners,
-                cfg.padding_mode, interpret=interpret)[..., 0]
-            tgt_rand = sample_per_slot(
-                gt_f[..., None], rand_s, cfg.align_corners,
-                cfg.padding_mode, interpret=interpret)[..., 0]
+        pred_rand = sample_per_slot(
+            vol[..., None], rand_s, cfg.align_corners,
+            cfg.padding_mode, interpret=interpret)[..., 0]
+        # gt read on the XLA path (see gt_cand note)
+        tgt_rand = point_sample_3d(
+            gt_f[..., None], rand_s, align_corners=cfg.align_corners,
+            padding_mode=cfg.padding_mode)[..., 0]
         sup_pred = jnp.concatenate([sup_pred, pred_rand], axis=1)
         sup_tgt = jnp.concatenate(
             [sup_tgt, jax.lax.stop_gradient(tgt_rand)], axis=1)

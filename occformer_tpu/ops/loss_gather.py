@@ -93,10 +93,13 @@ def sample_volumes_packed(vols: jnp.ndarray, pts01: jnp.ndarray,
 
     Returns [S, K].  One kernel call scores every packed channel (e.g.
     every gt slot's mask volume) at every candidate point; K is split into
-    <= max_channels chunks so one table block stays within VMEM (the
-    backward additionally holds two [X*Y, Z*K] f32 accumulators)."""
+    chunks so one [X*Y, Z*k] table block stays within ~40 MB of VMEM (the
+    backward additionally holds two [X*Y, Z*K] f32 accumulators) — at the
+    nuScenes GT grid (256x256x32 f32) that is 4 slots per call."""
     K, X, Y, Z = vols.shape
     S = pts01.shape[0]
+    bytes_per_ch = X * Y * Z * vols.dtype.itemsize
+    max_channels = max(1, min(max_channels, (40 << 20) // bytes_per_ch))
     win = _auto_window(X * Y, Y, S, _S_BLOCK)
     coords = (pts01 * 2.0 - 1.0)[None]
     outs = []

@@ -220,11 +220,35 @@ def _fwd_kernel_win(meta_ref, table_ref, out_ref, *, Y, Z, C, XY, W, prec):
 
     @pl.when(esc)
     def _():
-        tbl = table_ref[0]
-        oh_e, _ = _onehot_xy_esc(mt, r0f, Y, XY, W, tbl.dtype)
-        slab_e = jax.lax.dot_general(
-            oh_e, tbl, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        # full-width escape, CHUNKED over table rows (see _bwd_kernel_win:
+        # a monolithic [S_blk, XY] onehot at loss-volume widths blows VMEM)
+        Wc = min(XY, 2048)
+        S_blk = mt.shape[0]
+        rows_e, ws_e = _corner_rows_weights(mt, Y)
+        outw = ((rows_e < r0f) | (rows_e > r0f + float(W - 1))).astype(
+            jnp.float32)
+        w_out = ws_e * outw
+        a_e = mt[:, 0:1]
+
+        def chunk(j, slab_acc):
+            c0 = pl.multiple_of(j * Wc, 16)
+            tblc = table_ref[0, pl.ds(c0, Wc), :]
+            iota_c = jax.lax.broadcasted_iota(
+                jnp.int32, (1, Wc), 1).astype(jnp.float32) + c0.astype(
+                    jnp.float32)
+            dd = iota_c - a_e
+            oh_c = (
+                jnp.where(dd == 0.0, w_out[:, 0:1], 0.0)
+                + jnp.where(dd == 1.0, w_out[:, 1:2], 0.0)
+                + jnp.where(dd == float(Y), w_out[:, 2:3], 0.0)
+                + jnp.where(dd == float(Y + 1), w_out[:, 3:4], 0.0)
+            ).astype(tblc.dtype)
+            return slab_acc + jax.lax.dot_general(
+                oh_c, tblc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        slab_e = jax.lax.fori_loop(
+            0, XY // Wc, chunk, jnp.zeros((S_blk, Z * C), jnp.float32))
         masked_e = slab_e * _zmask(mt, Z, C)
         out_e = jax.lax.dot_general(
             masked_e, _gsum(Z, C), (((1,), (0,)), ((), ())),
