@@ -31,7 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 OUT = os.path.join(REPO, ".probe_train_ablation.json")
-ORDER = ["G1", "G2", "G2d", "G2b", "G3", "G4", "G5", "G6"]
+ORDER = ["G1", "G2", "G2d", "G2b", "G3", "G4", "G5", "G6s", "G6"]
 
 
 def _timed_fetch(call, n=4):
@@ -146,9 +146,16 @@ def main():
             vt_cfg.get("downsample", 16), vt_cfg.get("loss_depth_weight", 1.0))
         return sum(v for k, v in losses.items() if "loss" in k)
 
-    if stage == "G6":
-        tx = build_optimizer(params, lr=step_lr_schedule(1e-4, 28000, [20, 23]),
-                             grad_clip=5.0)
+    if stage in ("G6", "G6s"):
+        if stage == "G6s":
+            # discriminator: plain SGD, no clip/decay/moments — if G6s stays
+            # ~G6-slow the 2.28 s optimizer-stage delta is program-level
+            # composition, not the tx
+            import optax
+            tx = optax.sgd(1e-4)
+        else:
+            tx = build_optimizer(params, lr=step_lr_schedule(1e-4, 28000, [20, 23]),
+                                 grad_clip=5.0)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats, opt_state=tx.init(params))
         step_fn = jax.jit(build_train_step(model, tx, loss_cfg))
