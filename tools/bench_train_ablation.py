@@ -167,7 +167,16 @@ def main():
     else:
         fn = {"G1": g1, "G2": g2, "G2d": g2d, "G2b": g2b, "G3": g3,
               "G4": g4, "G5": g5}[stage]
-        gfn = jax.jit(lambda p: jax.value_and_grad(fn)(p)[0])
+        # the grads MUST be consumed: returning only the value lets XLA
+        # dead-code-eliminate the entire backward, which silently turned
+        # G1-G5 into FORWARD-only measurements (caught 2026-08-20 when the
+        # "optimizer tail" G6-G5 delta equaled the whole backward)
+        def val_plus_gradsum(p):
+            v, g = jax.value_and_grad(fn)(p)
+            return v + sum(jnp.sum(x.astype(jnp.float32))
+                           for x in jax.tree_util.tree_leaves(g)) * 1e-12
+
+        gfn = jax.jit(val_plus_gradsum)
 
         def call():
             return gfn(params)
