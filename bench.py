@@ -33,6 +33,21 @@ vs_baseline = end_to_end_fps / 4.5 (the reference publishes no FPS;
 Budget-aware: stages run in value order and each checks the remaining
 deadline first; a skipped or failed stage records a note instead of
 blocking the primary metric.  Set BENCH_FAST=1 for the primary metric only.
+
+OUTPUT CONTRACT (round-5 fix — VERDICT r4 #1: the round-4 driver run was
+killed mid-compile and recorded `parsed: null` despite a real 6.4x win):
+the driver tail-parses the LAST ``{...}`` line of stdout, so this script
+prints a PROGRESSION of complete JSON lines, each superseding the last:
+
+  1. immediately at startup: a provisional line (value 0.0, explicit
+     "in progress" error) — a kill during the first compile now records
+     an explicit failure instead of nothing;
+  2. immediately after the flagship measurement: the primary-metric line;
+  3. after EVERY completed secondary stage: the full combined line so far.
+
+A kill at ANY point therefore records the most complete measurement set
+available at that moment.  DEADLINE_SECS defaults inside the driver's
+observed budget (round-4 was killed before 25 min).
 """
 import json
 import os
@@ -48,7 +63,9 @@ BSLOPE = int(os.environ.get("BENCH_BSLOPE", 2))
 # The axon tunnel has outage stretches (NOTES.md) during which ANY device
 # call hangs with no error.  A hung bench records nothing for the round;
 # the watchdog turns that into an explicit failure line instead.
-DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", 2700))
+# 1260 s + 60 s watchdog < the driver's observed kill budget (<25 min,
+# BENCH_r04.json rc=124) — VERDICT r4 #1(b).
+DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", 1260))
 T0 = time.time()
 
 # bf16 dense peak by device_kind substring (jax.devices()[0].device_kind)
@@ -75,7 +92,7 @@ def _arm_watchdog():
         }), flush=True)
         os._exit(2)
 
-    t = threading.Timer(DEADLINE_SECS + 120, fire)
+    t = threading.Timer(DEADLINE_SECS + 60, fire)
     t.daemon = True
     t.start()
     return t
@@ -284,6 +301,34 @@ def main():
     extra = {}
     provenance = {}
 
+    def emit(fps, final=False):
+        """Print the full combined line with everything measured so far.
+        The driver tail-parses the last JSON line, so each emission
+        supersedes the previous one (VERDICT r4 #1(a))."""
+        line = {
+            "metric": "nusc_r50_256x704_infer_frames_per_sec_per_chip",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            # the reference publishes no FPS; 4.5 fps is an A100 community
+            # ESTIMATE (see module docstring) — labeled as such
+            "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+            "baseline_kind": "estimated_a100_4.5fps_community",
+            **extra,
+            "provenance": provenance,
+            **({"notes": notes} if notes else {}),
+            **({} if final else {"partial": True}),
+        }
+        print(json.dumps(line), flush=True)
+
+    # Provisional line: a driver kill during the first (possibly cold)
+    # compile now records an explicit in-progress failure, not nothing.
+    print(json.dumps({
+        "metric": "nusc_r50_256x704_infer_frames_per_sec_per_chip",
+        "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+        "error": "bench in progress — killed before the flagship "
+                 "measurement completed (compile or tunnel outage)",
+    }), flush=True)
+
     from occformer_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -309,13 +354,14 @@ def main():
     provenance["nusc_r50_256x704_infer_frames_per_sec_per_chip"] = _prov(
         "__graft_entry__.entry() flagship inference fwd, B=1, scalar "
         "checksum of final-layer voxel scores", REPEATS)
+    emit(fps)  # the primary metric lands the moment it exists
 
     fcfg = "occformer_tpu/configs/occformer_nusc_r50_256x704.py"
     if os.environ.get("BENCH_FAST"):
         notes.append("BENCH_FAST: secondary stages skipped")
     else:
         # --- batch-scaling slope: device compute vs per-execute overhead --
-        if _remaining() > 900:
+        if _remaining() > 300:
             try:
                 fwdB, argsB, nB = _build_infer(fcfg, batch_size=BSLOPE)
                 tB = _fetch_sec(lambda: fwdB(*argsB))
@@ -342,6 +388,7 @@ def main():
             except Exception as e:  # noqa: BLE001
                 notes.append(f"batch-slope stage failed: "
                              f"{type(e).__name__}: {e}")
+            emit(fps)
         else:
             notes.append("batch-slope skipped: deadline")
 
@@ -377,10 +424,13 @@ def main():
         getattr(jax, "clear_caches", lambda: None)()
         gc.collect()
 
-        for name, need in (("flagship_train_step_sec", 900),
-                           ("kitti_b7_infer_fps", 700),
-                           ("r101_infer_fps", 700),
-                           ("mxu_kernel_parity_max_abs_err", 300)):
+        # need = warm-cache stage cost (executable load + repeats); the
+        # round-closing ritual primes .jax_cache with these exact programs
+        # so cold compiles never happen in the driver run (VERDICT r4 #1(c))
+        for name, need in (("flagship_train_step_sec", 300),
+                           ("kitti_b7_infer_fps", 250),
+                           ("r101_infer_fps", 250),
+                           ("mxu_kernel_parity_max_abs_err", 120)):
             if _remaining() < need:
                 notes.append(f"{name} skipped: {_remaining():.0f}s left "
                              f"< {need}s stage budget")
@@ -402,9 +452,14 @@ def main():
                         provenance[name] = got["provenance"]
             except Exception as e:  # noqa: BLE001
                 notes.append(f"{name} failed: {type(e).__name__}: {e}")
+            emit(fps)
         perr = extra.get("mxu_kernel_parity_max_abs_err")
-        if perr is not None and perr > 1e-3:
-            notes.append(f"MXU kernel ON-CHIP PARITY MISMATCH: {perr}")
+        if perr is not None:
+            # top-level flag (ADVICE r4): downstream consumers cannot read
+            # the perf numbers without seeing a parity mismatch
+            extra["mxu_kernel_parity_ok"] = bool(perr <= 1e-3)
+            if perr > 1e-3:
+                notes.append(f"MXU kernel ON-CHIP PARITY MISMATCH: {perr}")
         if "flagship_train_step_sec" in extra and \
                 "analytic_train_tflop_per_step" in extra:
             extra["train_e2e_mfu"] = round(
@@ -419,18 +474,7 @@ def main():
         "device_marginal_* is the batch-scaling slope (hardware-"
         "representative per-sample compute).")
     watchdog.cancel()
-    print(json.dumps({
-        "metric": "nusc_r50_256x704_infer_frames_per_sec_per_chip",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        # the reference publishes no FPS; 4.5 fps is an A100 community
-        # ESTIMATE (see module docstring) — labeled as such
-        "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
-        "baseline_kind": "estimated_a100_4.5fps_community",
-        **extra,
-        "provenance": provenance,
-        **({"notes": notes} if notes else {}),
-    }))
+    emit(fps, final=True)
 
 
 if __name__ == "__main__":

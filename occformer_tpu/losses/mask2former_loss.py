@@ -313,6 +313,12 @@ def _sup_points_mxu(cand, rand_all, assign_q, gt_masks, mask_embed, feature,
     Candidate points arrive UNsorted and are sorted here by slab row; every
     consumer is order-consistent (top-k indices select from the same sorted
     arrays; losses reduce over points), so no unsort exists.
+
+    Memory note (ADVICE r4 #2): this path materializes the [G, X*Y*Z] f32
+    per-layer volume and does NOT honor gt_chunks/point_chunks — those
+    levers belong to the XLA feature readout.  For semantic heads
+    (G=17, ~18 MB/layer) that is fine; panoptic G~100 should keep
+    mxu_readout off (the default) or accept the ~105 MB/layer volume.
     """
     Q = mask_embed.shape[0]
     X, Y, Z, _ = feature.shape

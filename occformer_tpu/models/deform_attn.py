@@ -23,6 +23,7 @@ import numpy as np
 
 from ..ops.sampling import grid_sample_3d, grid_sample_3d_cfirst
 from ..ops.trilerp import trilerp_gather_slab
+from ..ops.trilerp_fused import fused_multilevel_gather
 from .layers import Linear
 
 
@@ -83,6 +84,12 @@ class MultiScaleDeformableAttention3D(nn.Module):
     # 64x64 level, 1024 below — the per-grid-step overhead floor dominates
     # the small levels, so fewer/bigger blocks win there).
     gather_s_block: int = -1
+    # Fuse ALL levels' gathers into ONE Pallas call (ops/trilerp_fused.py):
+    # removes the per-call dispatch + the per-grid-step overhead floor that
+    # dominated the small levels (round-4 map #4).  Applies to the mxu
+    # paths only; the window is the largest level's measured policy (its
+    # range trivially covers the smaller levels' whole row spans).
+    gather_fused: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,6 +174,30 @@ class MultiScaleDeformableAttention3D(nn.Module):
             locs_c = locs_flat.reshape(B, nq, H, L, P, 3)
             weights_c = weights_flat.reshape(B, nq, H, L, P)
             acc = jnp.zeros((B, nq, H, hd), self.dtype)
+            if use_mxu and self.gather_fused:
+                coords_l = []
+                for l in range(L):
+                    g = locs_c[:, :, :, l] * 2.0 - 1.0  # [B, nq, H, P, 3]
+                    coords_l.append(
+                        g.transpose(0, 2, 1, 3, 4).reshape(B * H, nq * P, 3))
+                xy_max = max(X * Y for (X, Y, Z) in spatial_shapes)
+                if self.gather_window >= 0:
+                    win = self.gather_window
+                else:  # largest level's measured policy (attribute doc)
+                    win = xy_max // 4 if xy_max >= 4096 else (
+                        640 if xy_max >= 1024 else 0)
+                sb = self.gather_s_block if self.gather_s_block > 0 else 512
+                samples = fused_multilevel_gather(
+                    v_levels, list(spatial_shapes), hd, coords_l,
+                    align_corners=False, s_block=sb, interpret=interp,
+                    window=win)  # per level [B*H, hd, nq*P]
+                for l in range(L):
+                    s = samples[l].reshape(B, H, hd, nq, P)
+                    w = weights_c[:, :, :, l].transpose(0, 2, 1, 3)
+                    acc = acc + jnp.einsum(
+                        "bhqp,bhdqp->bqhd", w, s,
+                        preferred_element_type=self.dtype).astype(self.dtype)
+                return acc
             for l, (X, Y, Z) in enumerate(spatial_shapes):
                 # [0,1] -> [-1,1], align_corners=False (torch grid_sample parity)
                 g = locs_c[:, :, :, l] * 2.0 - 1.0  # [B, nq, H, P, 3]

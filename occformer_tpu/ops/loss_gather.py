@@ -93,13 +93,16 @@ def sample_volumes_packed(vols: jnp.ndarray, pts01: jnp.ndarray,
 
     Returns [S, K].  One kernel call scores every packed channel (e.g.
     every gt slot's mask volume) at every candidate point; K is split into
-    chunks so one [X*Y, Z*k] table block stays within ~40 MB of VMEM (the
-    backward additionally holds two [X*Y, Z*K] f32 accumulators) — at the
-    nuScenes GT grid (256x256x32 f32) that is 4 slots per call."""
+    chunks sized by the BACKWARD's VMEM footprint (ADVICE r4 #4): the
+    bwd kernel holds the [X*Y, Z*k] table block PLUS two [X*Y, Z*k] f32
+    accumulators (d_table + the read-modify-write surface), so the cap is
+    table + 2x f32 <= 80 MB against the 100 MB compiler limit (the
+    remaining ~20 MB covers the [S_blk, Wc] escape-chunk surfaces) — at
+    the nuScenes GT grid (256x256x32 f32) that is 3 slots per call."""
     K, X, Y, Z = vols.shape
     S = pts01.shape[0]
-    bytes_per_ch = X * Y * Z * vols.dtype.itemsize
-    max_channels = max(1, min(max_channels, (40 << 20) // bytes_per_ch))
+    bwd_bytes_per_ch = X * Y * Z * (vols.dtype.itemsize + 2 * 4)
+    max_channels = max(1, min(max_channels, (80 << 20) // bwd_bytes_per_ch))
     win = _auto_window(X * Y, Y, S, _S_BLOCK)
     coords = (pts01 * 2.0 - 1.0)[None]
     outs = []

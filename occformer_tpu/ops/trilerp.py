@@ -448,12 +448,15 @@ def _build_op(X: int, Y: int, Z: int, C: int, s_block: int, interpret: bool,
               highp: bool, window: int = 0):
     XY = X * Y
     ZC = Z * C
-    # windowed kernels only pay off when the window is a real subset
+    # windowed kernels only pay off when the window is a real subset; they
+    # additionally require 16-row sublane alignment and an escape-chunk
+    # divisor of XY — on planes that break either (e.g. 96x48: XY=4608 is
+    # not a multiple of the 2048-row escape chunk) fall back to full width
+    # rather than trace-fail (ADVICE r4 #1)
     win = window if (window and window < XY) else 0
+    if win and (win % 16 != 0 or XY % min(XY, 2048) != 0):
+        win = 0
     if win:
-        assert win % 16 == 0, f"window {win} must be sublane-tile aligned"
-        # chunked escape pass walks the table in min(XY, 2048)-row chunks
-        assert XY % min(XY, 2048) == 0, (X, Y)
         fwd_kernel = functools.partial(_fwd_kernel_win, W=win)
         bwd_kernel = functools.partial(_bwd_kernel_win, W=win)
     else:
