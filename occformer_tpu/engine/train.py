@@ -102,6 +102,10 @@ def build_loss_cfg(head_cfg: Dict, train_cfg: Dict) -> MaskLossConfig:
         feature_readout=bool(head_cfg.get("feature_readout", is_nusc)),
         shared_candidate_readout=bool(
             head_cfg.get("shared_candidate_readout", True)),
+        # all-layer batched MXU volume readout (round 5): 'auto' resolves
+        # per backend in _resolve_mxu_readout; configs may force
+        # 'on'/'off'/'interpret' (the latter = CPU kernel coverage)
+        mxu_readout=str(head_cfg.get("mxu_readout", "auto")),
     )
 
 

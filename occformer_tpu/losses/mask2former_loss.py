@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops.loss_gather import (
     sample_per_slot,
-    sample_volumes_packed,
+    sample_volumes_packed_batched,
     sort_points_by_row,
 )
 from ..ops.sampling import point_sample_3d
@@ -120,25 +120,18 @@ class MaskLossConfig:
     # Round-4 perf: the per-slot readout was 0.24 s/layer fwd+bwd on chip
     # (.probe_loss_gathers.json B) vs ~free for shared-coord gathers (A/D).
     shared_candidate_readout: bool = True
-    # MXU volume readout (round 4, lidar-point + feature_readout heads):
-    # sample per-slot mask VOLUMES (``emb . feature`` einsum — identical
-    # math by the same linearity as feature_readout, evaluated on the other
-    # side) with the SORTED windowed Pallas kernel (ops/loss_gather.py):
-    # slots with shared candidate coords pack into the kernel's channel
-    # axis, so candidate scoring is one kernel call; per-slot random-fill
-    # points sample per-slot slabs.  Replaces the PRED-side XLA
-    # corner-gathers with MXU matmuls (GT reads stay on the XLA path:
-    # shared-coord multi-channel gathers were already ~free there,
-    # .probe_loss_gathers.json D).
-    # 'auto' currently resolves OFF everywhere: every kernel call is fast
-    # in isolation (candidate scoring 2.6/5.7 ms fwd/fwd+bwd,
-    # .probe_loss_mxu.json) but COMPOSED inside the rematerialized
-    # deep-supervision scan the custom calls act as scheduling barriers —
-    # full loss grad 1.36 s vs 1.10 s pure-XLA (.probe_loss_full.json);
-    # XLA pipelines its own gathers across the layer scan but cannot
-    # overlap around opaque custom calls.  'on'/'interpret' keep the path
-    # alive (tests/test_loss_edge_cases.py::test_mxu_readout_*) for a
-    # future round (fewer/larger kernel calls per layer is the lever).
+    # MXU volume readout (lidar-point + feature_readout heads): sample
+    # per-slot mask VOLUMES (``emb . feature`` einsum — identical math by
+    # the same linearity as feature_readout, evaluated on the other side)
+    # with the SORTED windowed Pallas kernel (ops/loss_gather.py).
+    # Round 5 made it ALL-LAYER BATCHED (_mxu_batched_loss): round 4's
+    # per-layer version lost 0.26 s/step to kernel calls acting as
+    # scheduling barriers inside the remat scan (.probe_loss_full.json);
+    # now every Pallas call spans the (layer x sample) axis, ~8 calls per
+    # step instead of ~80, and the layer scan disappears from the loss.
+    # 'auto' resolves per backend in _resolve_mxu_readout; 'interpret'
+    # runs the kernels in interpreter mode (CPU equivalence tests,
+    # tests/test_loss_edge_cases.py::test_mxu_readout_*).
     mxu_readout: str = "auto"
 
 
@@ -227,28 +220,7 @@ def _match_single_sample(
 
     if cfg.use_lidar_points:
         pts = _matching_points_nusc(r_match, lidar_xyz, lidar_valid, cfg)
-        mxu_ro = _resolve_mxu_readout(cfg) if cfg.feature_readout else "off"
-        if mxu_ro != "off":
-            # whole matching block is detached: score every query's mask
-            # volume at the shared (sorted) match points with channel-packed
-            # kernel calls.  bf16 volumes — the cost matrix tolerates bf16
-            # noise (the reference computes it under fp16 AMP) and f32
-            # tables at Q=100 packed channels would not fit a VMEM block.
-            X, Y, Z = feature.shape[:3]
-            pts_s = sort_points_by_row(pts, (X, Y, Z))
-            q_vol = jnp.einsum(
-                "qc,xyzc->qxyz", mask_embed.astype(jnp.bfloat16),
-                feature.astype(jnp.bfloat16))  # [Q, X, Y, Z]
-            mask_pts_pred = sample_volumes_packed(
-                q_vol, pts_s, cfg.align_corners, cfg.padding_mode,
-                interpret=(mxu_ro == "interpret"),
-            ).T.astype(jnp.float32)  # [Q, P]
-            # gt read on the XLA path (finer grid; see _sup_points_mxu)
-            gt_pts = point_sample_3d(
-                gt_masks.transpose(1, 2, 3, 0)[None].astype(jnp.float32),
-                pts_s[None], align_corners=cfg.align_corners,
-                padding_mode=cfg.padding_mode)[0].T  # [G, P] soft
-        elif cfg.feature_readout:
+        if cfg.feature_readout:
             # emb . point_sample(feature) == point_sample(emb . feature):
             # one [P, C] gather + a [Q, C] x [C, P] matmul instead of a
             # [Q, X, Y, Z] volume materialization + per-query sampling
@@ -264,11 +236,10 @@ def _match_single_sample(
                 mask_pred.transpose(1, 2, 3, 0)[None], pts[None],
                 align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
             )[0].T  # [Q, P]
-        if mxu_ro == "off":
-            gt_pts = point_sample_3d(
-                gt_masks.transpose(1, 2, 3, 0)[None], pts[None],
-                align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
-            )[0].T  # [G, P] soft
+        gt_pts = point_sample_3d(
+            gt_masks.transpose(1, 2, 3, 0)[None], pts[None],
+            align_corners=cfg.align_corners, padding_mode=cfg.padding_mode,
+        )[0].T  # [G, P] soft
     else:
         idx, coords = sample_with_frequencies(
             r_match, gt_masks, gt_labels, gt_valid, sample_weights,
@@ -300,77 +271,229 @@ def _resolve_mxu_readout(cfg: MaskLossConfig) -> str:
     return cfg.mxu_readout
 
 
-def _sup_points_mxu(cand, rand_all, assign_q, gt_masks, mask_embed, feature,
-                    cfg: MaskLossConfig, interpret: bool):
-    """Supervision readout via per-slot mask VOLUMES + the sorted windowed
-    MXU kernel (ops/loss_gather.py).  Same math as the shared-candidate
-    feature readout: trilinear sampling is linear in voxel values, so
-    point_sample(emb . feature, p) == emb . point_sample(feature, p); here
-    the LEFT side is evaluated with channel-packed kernel calls (f32 tables
-    -> the kernel's 6-pass f32 MXU mode, matching the feature path's f32
-    contraction accuracy).  Returns (sup_pred [G, num_points], sup_tgt).
+def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
+                      gt_labels, gt_valid, lidar_xyz, lidar_valid,
+                      cfg: MaskLossConfig, interpret: bool):
+    """ALL-LAYER batched MXU loss (round 5, VERDICT r4 #3).
 
-    Candidate points arrive UNsorted and are sorted here by slab row; every
-    consumer is order-consistent (top-k indices select from the same sorted
-    arrays; losses reduce over points), so no unsort exists.
+    Round 4 built the sorted windowed volume readout but shipped it OFF:
+    composed inside the per-layer remat scan, its ~8 kernel calls per layer
+    each acted as a scheduling barrier and lost 0.26 s/step despite 2.6 ms
+    isolated kernels (.probe_loss_full.json).  The fix is structural: hoist
+    every Pallas call OUT of the layer loop and batch it over the
+    (layer x sample) axis as the kernel grid — the whole deep-supervision
+    readout becomes ~4 differentiated + ~4 detached kernel invocations per
+    STEP (vs ~80), and the per-layer bookkeeping that remains is pure XLA.
 
-    Memory note (ADVICE r4 #2): this path materializes the [G, X*Y*Z] f32
-    per-layer volume and does NOT honor gt_chunks/point_chunks — those
-    levers belong to the XLA feature readout.  For semantic heads
-    (G=17, ~18 MB/layer) that is fine; panoptic G~100 should keep
-    mxu_readout off (the default) or accept the ~105 MB/layer volume.
+    Same math as the per-layer path it replaces (the linearity identity
+    point_sample(emb . feature, p) == emb . point_sample(feature, p),
+    evaluated volume-side with f32 HIGHEST einsums + the 6-pass f32 kernel),
+    and the SAME per-(layer, sample) PRNG derivation as the scan path, so
+    it is numerically equivalent to the XLA feature readout
+    (tests/test_loss_edge_cases.py::test_mxu_readout_equivalent*).
+
+    GT reads stay on the XLA gather path: shared-coordinate multi-channel
+    gathers measured ~free there (.probe_loss_gathers.json D), while the
+    kernel at the FINER gt grid (256x256x32, XY=65536) pays f32 6-pass
+    window matmuls + tail escapes (.probe_gtgrid.json).
+
+    Memory (ADVICE r4 #2): per-slot volumes are built in G-chunks sized by
+    the packed sampler's backward-footprint cap, so panoptic G~100 never
+    materializes the full [L, B, G, X*Y*Z] f32 stack at once.
     """
-    Q = mask_embed.shape[0]
-    X, Y, Z, _ = feature.shape
+    L, B, Q = cls_preds.shape[:3]
+    G = gt_masks.shape[1]
+    X, Y, Z, _ = mask_feature.shape[1:]
     spatial = (X, Y, Z)
-    emb_g = mask_embed[jnp.clip(assign_q, 0, Q - 1)]  # [G, C]
-    # HIGHEST: a default-precision (bf16-pass) volume would inject ~1e-3
-    # rel noise into every sampled logit; 6-pass f32 costs ~nothing at
-    # [G, X*Y*Z] x C and keeps the path bit-comparable to the f32 feature
-    # readout (tests/test_loss_edge_cases.py::test_mxu_readout_equivalent*)
-    vol = jnp.einsum("gc,xyzc->gxyz", emb_g.astype(jnp.float32),
-                     feature.astype(jnp.float32),
-                     precision=jax.lax.Precision.HIGHEST)  # [G, X, Y, Z]
-    gt_f = jax.lax.stop_gradient(gt_masks.astype(jnp.float32))
+    NB = L * B
+    f32 = jnp.float32
+    layer_keys = jax.random.split(rng, L)
+    # [L, B, key]: exactly the scan path's keys = split(layer_keys[l], B)
+    keys_lb = jax.vmap(lambda k: jax.random.split(k, B))(layer_keys)
 
-    cand_s = sort_points_by_row(cand, spatial)
-    # selection scores: reference scores candidates at grid_sample's default
-    # align_corners=False (get_nusc_lidarseg_point_coords)
-    cand_logits = sample_volumes_packed(
-        vol, cand_s, False, cfg.padding_mode, interpret=interpret).T  # [G, S]
-    if cfg.align_corners is False:
-        cand_logits_sup = cand_logits
-    else:
-        cand_logits_sup = sample_volumes_packed(
-            vol, cand_s, True, cfg.padding_mode, interpret=interpret).T
-    # GT reads stay on the XLA gather path: shared-coordinate multi-channel
-    # gathers measured ~free there (.probe_loss_gathers.json D), while the
-    # kernel at the FINER gt grid (256x256x32, XY=65536) pays f32 6-pass
-    # window matmuls + tail escapes — the 7.5 s/loss-grad regression of the
-    # first all-kernel cut (.probe_gtgrid.json).  Only pred-volume reads
-    # (the measured-slow family) use the kernel.
-    gt_cand = jax.lax.stop_gradient(point_sample_3d(
-        jnp.moveaxis(gt_f, 0, -1)[None], cand_s[None],
-        align_corners=cfg.align_corners,
-        padding_mode=cfg.padding_mode)[0]).T  # [G, S]
+    # ---- phase A: matching (fully detached, like the reference assigner) --
+    emb_d = jax.lax.stop_gradient(mask_embeds)
+    feat_d = jax.lax.stop_gradient(mask_feature)
+    cls_d = jax.lax.stop_gradient(cls_preds)
 
+    def draw_match(k, lx, lv):
+        r_match, _ = jax.random.split(k)
+        return _matching_points_nusc(r_match, lx, lv, cfg)
+
+    pts = jax.vmap(lambda ks: jax.vmap(draw_match)(
+        ks, lidar_xyz, lidar_valid))(keys_lb)         # [L, B, Pm, 3]
+    pts_s = sort_points_by_row(pts, spatial)
+    Pm = pts_s.shape[2]
+    pts_f = pts_s.reshape(NB, Pm, 3)
+    # bf16 match volumes (the cost tolerates bf16 — reference computes it
+    # under fp16 AMP); chunk queries by the packed sampler's cap so the
+    # [L, B, q, X*Y*Z] stack never fully materializes
+    qcap = max(1, (80 << 20) // (X * Y * Z * (2 + 8)))
+    preds = []
+    for q0 in range(0, Q, qcap):
+        q_vol = jnp.einsum(
+            "lbqc,bxyzc->lbqxyz",
+            emb_d[:, :, q0:q0 + qcap].astype(jnp.bfloat16),
+            feat_d.astype(jnp.bfloat16))
+        preds.append(sample_volumes_packed_batched(
+            q_vol.reshape(NB, -1, X, Y, Z), pts_f, cfg.align_corners,
+            cfg.padding_mode, interpret=interpret))   # [NB, Pm, q]
+    mask_pts_pred = jnp.concatenate(preds, axis=-1).astype(f32)
+    mask_pts_pred = jnp.transpose(mask_pts_pred, (0, 2, 1)).reshape(
+        L, B, Q, Pm)
+    gt_ch = jnp.moveaxis(gt_masks.astype(f32), 1, -1)  # [B, Xg, Yg, Zg, G]
+    gt_pts = jax.vmap(lambda ps: jax.vmap(
+        lambda p, g: point_sample_3d(
+            g[None], p[None], align_corners=cfg.align_corners,
+            padding_mode=cfg.padding_mode)[0])(ps, gt_ch))(pts_s)
+    gt_pts = jnp.transpose(gt_pts, (0, 1, 3, 2))       # [L, B, G, Pm]
+
+    def match_lb(cs, mp, gp, gl, gv):
+        cost = mask_matching_cost(
+            cs, mp, gl, gp, gv,
+            cls_weight=cfg.cls_cost_weight, mask_weight=cfg.mask_cost_weight,
+            dice_weight=cfg.dice_cost_weight, dice_eps=cfg.dice_eps)
+        return auction_match(cost, gv)
+
+    assigns = jax.vmap(jax.vmap(match_lb, in_axes=(0, 0, 0, 0, 0)),
+                       in_axes=(0, 0, 0, None, None))(
+        cls_d, mask_pts_pred, gt_pts, gt_labels, gt_valid)  # [L, B, G]
+
+    # ---- phase B: differentiated supervision readout ---------------------
+    num_sampled = int(cfg.num_points * cfg.oversample_ratio)
     n_unc = int(cfg.importance_sample_ratio * cfg.num_points)
+    n_rand = cfg.num_points - n_unc
+    P_l = lidar_xyz.shape[1]
+
+    def draw_cand(k, lx, lv):
+        # exact _loss_single_sample derivation (bit-identical draws)
+        _, r_rest = jax.random.split(k)
+        r_sup, r_sup2 = jax.random.split(r_rest)
+        perm = gumbel_topk_sample(r_sup, lv.astype(f32),
+                                  min(num_sampled, P_l))
+        cand = lx[perm]
+        cand_valid = lv[perm]
+        rr = jax.random.uniform(jax.random.fold_in(r_sup, 7),
+                                (cand.shape[0], 3), f32)
+        cand = jnp.where(cand_valid[:, None], cand, rr)
+        if num_sampled > cand.shape[0]:
+            extra = jax.random.uniform(
+                jax.random.fold_in(r_sup, 8),
+                (num_sampled - cand.shape[0], 3), f32)
+            cand = jnp.concatenate([cand, extra], axis=0)
+        rand_all = jax.random.uniform(r_sup2, (G, n_rand, 3), f32) \
+            if n_rand > 0 else jnp.zeros((G, 0, 3), f32)
+        return cand, rand_all
+
+    cand, rand_all = jax.vmap(lambda ks: jax.vmap(draw_cand)(
+        ks, lidar_xyz, lidar_valid))(keys_lb)
+    cand_s = sort_points_by_row(cand, spatial)         # [L, B, S, 3]
+    S = cand_s.shape[2]
+    cand_f = cand_s.reshape(NB, S, 3)
+    rand_s = sort_points_by_row(rand_all, spatial) if n_rand > 0 else None
+
+    emb_g = jax.vmap(jax.vmap(
+        lambda em, aq: em[jnp.clip(aq, 0, Q - 1)]))(
+        mask_embeds, assigns)                          # [L, B, G, C]
+
+    # per-slot volumes in G-chunks; both differentiated kernel readouts
+    # (candidate scoring + random fill) consume each chunk while it is live
+    gcap = max(1, (80 << 20) // (X * Y * Z * (4 + 8)))
+    lg_chunks, lg_sup_chunks, rand_chunks = [], [], []
+    for g0 in range(0, G, gcap):
+        emb_c = emb_g[:, :, g0:g0 + gcap]
+        # HIGHEST: a default-precision volume injects ~1e-3 rel noise into
+        # every sampled logit (NOTES.md round-4); 6-pass f32 is ~free here
+        vol_c = jnp.einsum("lbgc,bxyzc->lbgxyz", emb_c.astype(f32),
+                           mask_feature.astype(f32),
+                           precision=jax.lax.Precision.HIGHEST)
+        g = vol_c.shape[2]
+        vol_f = vol_c.reshape(NB, g, X, Y, Z)
+        # selection scores at grid_sample's default align_corners=False
+        # (reference get_nusc_lidarseg_point_coords)
+        lg_chunks.append(sample_volumes_packed_batched(
+            vol_f, cand_f, False, cfg.padding_mode, interpret=interpret))
+        if cfg.align_corners:
+            lg_sup_chunks.append(sample_volumes_packed_batched(
+                vol_f, cand_f, True, cfg.padding_mode, interpret=interpret))
+        if n_rand > 0:
+            rand_c = rand_s[:, :, g0:g0 + gcap].reshape(NB * g, n_rand, 3)
+            pr = sample_per_slot(
+                vol_f.reshape(NB * g, X, Y, Z)[..., None], rand_c,
+                cfg.align_corners, cfg.padding_mode,
+                interpret=interpret)[..., 0]
+            rand_chunks.append(pr.reshape(L, B, g, n_rand))
+
+    def _to_lbgs(chunks):
+        x = jnp.concatenate(chunks, axis=-1)           # [NB, S, G]
+        return jnp.transpose(x, (0, 2, 1)).reshape(L, B, G, S)
+
+    cand_logits = _to_lbgs(lg_chunks)
+    cand_logits_sup = _to_lbgs(lg_sup_chunks) if cfg.align_corners \
+        else cand_logits
+
+    gt_cand = jax.lax.stop_gradient(jax.vmap(lambda ps: jax.vmap(
+        lambda p, g: point_sample_3d(
+            g[None], p[None], align_corners=cfg.align_corners,
+            padding_mode=cfg.padding_mode)[0])(ps, gt_ch))(cand_s))
+    gt_cand = jnp.transpose(gt_cand, (0, 1, 3, 2))     # [L, B, G, S]
+
     idx = uncertainty_topk(jax.lax.stop_gradient(cand_logits), n_unc)
-    sup_pred = jnp.take_along_axis(cand_logits_sup, idx, axis=1)
-    sup_tgt = jnp.take_along_axis(gt_cand, idx, axis=1)
-    if rand_all is not None and rand_all.shape[1] > 0:
-        rand_s = sort_points_by_row(rand_all, spatial)
-        pred_rand = sample_per_slot(
-            vol[..., None], rand_s, cfg.align_corners,
-            cfg.padding_mode, interpret=interpret)[..., 0]
-        # gt read on the XLA path (see gt_cand note)
-        tgt_rand = point_sample_3d(
-            gt_f[..., None], rand_s, align_corners=cfg.align_corners,
-            padding_mode=cfg.padding_mode)[..., 0]
-        sup_pred = jnp.concatenate([sup_pred, pred_rand], axis=1)
-        sup_tgt = jnp.concatenate(
-            [sup_tgt, jax.lax.stop_gradient(tgt_rand)], axis=1)
-    return sup_pred, jax.lax.stop_gradient(sup_tgt)
+    sup_pred = jnp.take_along_axis(cand_logits_sup, idx, axis=-1)
+    sup_tgt = jnp.take_along_axis(gt_cand, idx, axis=-1)
+    if n_rand > 0:
+        gt_fb = gt_masks.astype(f32)                   # [B, G, Xg, Yg, Zg]
+        tgt_rand = jax.lax.stop_gradient(jax.vmap(lambda rs: jax.vmap(
+            lambda r, g: point_sample_3d(
+                g[..., None], r, align_corners=cfg.align_corners,
+                padding_mode=cfg.padding_mode)[..., 0])(rs, gt_fb))(rand_s))
+        sup_pred = jnp.concatenate(
+            [sup_pred, jnp.concatenate(rand_chunks, axis=2)], axis=-1)
+        sup_tgt = jnp.concatenate([sup_tgt, tgt_rand], axis=-1)
+    sup_tgt = jax.lax.stop_gradient(sup_tgt)
+
+    # ---- per-layer reductions (pure XLA, no scan needed) -----------------
+    class_weight = jnp.asarray(cfg.class_weight, f32)
+
+    def cls_lb(cs, aq, gl, gv):
+        safe_q = jnp.where(aq >= 0, aq, Q)
+        labels = jnp.full((Q + 1,), cfg.num_classes, jnp.int32)
+        labels = labels.at[safe_q].set(
+            jnp.where(gv, gl, cfg.num_classes))[:Q]
+        avg = jnp.sum(class_weight[labels])
+        num = jnp.sum(-jax.nn.log_softmax(cs.astype(f32), -1)[
+            jnp.arange(Q), labels] * class_weight[labels])
+        return num, avg, jnp.where(gv & (aq >= 0), class_weight[gl], 0.0)
+
+    cls_num, cls_avg, gt_w = jax.vmap(jax.vmap(
+        cls_lb, in_axes=(0, 0, 0, 0)), in_axes=(0, 0, None, None))(
+        cls_preds, assigns, gt_labels, gt_valid)       # [L, B], gt_w [L,B,G]
+
+    bce = _bce_elem(sup_pred, sup_tgt)
+    mask_num = jnp.sum(bce * (gt_w[..., None] > 0), axis=(1, 2, 3))
+    mask_avg = jnp.sum(gt_w, axis=(1, 2)) * cfg.num_points
+    pred_sig = jax.nn.sigmoid(sup_pred.astype(f32))
+    da = jnp.sum(pred_sig * sup_tgt, axis=-1)
+    db = jnp.sum(pred_sig, axis=-1) + jnp.sum(sup_tgt, axis=-1)
+    dice_rows = 1.0 - (2 * da + cfg.dice_eps) / (db + cfg.dice_eps)
+    dice_num = jnp.sum(dice_rows * gt_w, axis=(1, 2))
+    dice_avg = jnp.sum(gt_w, axis=(1, 2))
+
+    eps = jnp.finfo(f32).eps
+    lc = cfg.cls_loss_weight * jnp.sum(cls_num, 1) / jnp.maximum(
+        jnp.sum(cls_avg, 1), eps)
+    lm = cfg.mask_loss_weight * mask_num / jnp.maximum(mask_avg, eps)
+    ld = cfg.dice_loss_weight * dice_num / jnp.maximum(dice_avg, eps)
+
+    losses: Dict[str, jnp.ndarray] = {}
+    for l in range(L):
+        prefix = "" if l == L - 1 else f"d{l}."
+        losses[prefix + "loss_cls"] = lc[l]
+        losses[prefix + "loss_mask"] = lm[l]
+        losses[prefix + "loss_dice"] = ld[l]
+    losses["unassigned_gt"] = jnp.sum(
+        ((assigns < 0) & gt_valid[None]).astype(f32))
+    return losses
 
 
 def _loss_single_sample(
@@ -434,24 +557,6 @@ def _loss_single_sample(
         # bit-transparent (same single rng draw regardless of chunking)
         rand_all = jax.random.uniform(r_sup2, (G, n_rand, 3), jnp.float32) \
             if n_rand > 0 else None
-
-        mxu_ro = _resolve_mxu_readout(cfg) if cfg.feature_readout else "off"
-        if mxu_ro != "off":
-            sup_pred, sup_tgt = _sup_points_mxu(
-                cand, rand_all, assign_q, gt_masks, mask_embed, feature,
-                cfg, interpret=(mxu_ro == "interpret"))
-            mask_num = jnp.sum(
-                _bce_elem(sup_pred, sup_tgt) * (gt_w[:, None] > 0))
-            mask_avg = jnp.sum(gt_w) * cfg.num_points
-            pred_sig = jax.nn.sigmoid(sup_pred.astype(jnp.float32))
-            a = jnp.sum(pred_sig * sup_tgt, axis=-1)
-            b = jnp.sum(pred_sig, axis=-1) + jnp.sum(sup_tgt, axis=-1)
-            dice_rows = 1.0 - (2 * a + cfg.dice_eps) / (b + cfg.dice_eps)
-            return dict(
-                cls_num=cls_num, cls_avg=cls_avg,
-                mask_num=mask_num, mask_avg=mask_avg,
-                dice_num=jnp.sum(dice_rows * gt_w), dice_avg=jnp.sum(gt_w),
-            )
 
         shared_ro = cfg.feature_readout and cfg.shared_candidate_readout
         if cfg.feature_readout:
@@ -718,6 +823,16 @@ def mask2former_loss(
         gt_masks, gt_labels, gt_valid = preprocess_gt(gt_occ, cfg.num_classes)
     sw_rng, rng = jax.random.split(rng)
     sample_weights = _resolve_sample_weights(sw_rng, cfg)
+
+    mxu_ro = _resolve_mxu_readout(cfg) \
+        if (cfg.use_lidar_points and cfg.feature_readout) else "off"
+    if mxu_ro != "off":
+        # all-layer batched MXU readout: every Pallas call spans the full
+        # (layer x sample) axis; identical draws + math to the scan path
+        return _mxu_batched_loss(
+            rng, cls_preds, mask_embeds, mask_feature, gt_masks, gt_labels,
+            gt_valid, lidar_xyz, lidar_valid, cfg,
+            interpret=(mxu_ro == "interpret"))
 
     def match_one(l_rng, cls_l, mask_l, emb_l):
         keys = jax.random.split(l_rng, B)

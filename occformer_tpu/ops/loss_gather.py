@@ -117,6 +117,37 @@ def sample_volumes_packed(vols: jnp.ndarray, pts01: jnp.ndarray,
     return jnp.transpose(jnp.concatenate(outs, axis=0))
 
 
+def sample_volumes_packed_batched(vols: jnp.ndarray, pts01: jnp.ndarray,
+                                  align_corners: bool = False,
+                                  padding_mode: str = "border", *,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Batched variant: [N, K, X, Y, Z] channel volumes, [N, S, 3] shared
+    points PER BATCH ELEMENT -> [N, S, K].
+
+    N is the kernel's grid batch (e.g. layer x sample in the all-layer loss
+    readout, VERDICT r4 #3): one pallas_call covers every batch element and
+    every packed channel chunk — the round-5 fix for the per-layer
+    composition penalty (each call in the remat scan acted as a scheduling
+    barrier).  Channel chunking follows the same backward-footprint cap as
+    ``sample_volumes_packed``."""
+    N, K, X, Y, Z = vols.shape
+    S = pts01.shape[1]
+    bwd_bytes_per_ch = X * Y * Z * (vols.dtype.itemsize + 2 * 4)
+    cap = max(1, (80 << 20) // bwd_bytes_per_ch)
+    win = _auto_window(X * Y, Y, S, _S_BLOCK)
+    coords = pts01 * 2.0 - 1.0
+    outs = []
+    for k0 in range(0, K, cap):
+        sub = vols[:, k0:k0 + cap]
+        k = sub.shape[1]
+        slab = jnp.transpose(sub, (0, 2, 3, 4, 1)).reshape(N, X * Y, Z * k)
+        outs.append(trilerp_gather_slab(
+            slab, (X, Y, Z), k, coords, align_corners, s_block=_S_BLOCK,
+            interpret=interpret, window=win, padding_mode=padding_mode,
+        ))  # [N, k, S]
+    return jnp.transpose(jnp.concatenate(outs, axis=1), (0, 2, 1))
+
+
 def sample_per_slot(vols: jnp.ndarray, pts01: jnp.ndarray,
                     align_corners: bool = False,
                     padding_mode: str = "border", *,

@@ -226,3 +226,63 @@ def test_train_step_panoptic():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
         new_state.params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+@pytest.mark.quick
+def test_train_step_production_kernels_interpret():
+    """E2E train step with the PRODUCTION Pallas kernels in interpret mode
+    (VERDICT r4 #6): gather_impl='mxu_interpret' through the pixel decoder
+    (fused multi-level trilerp) + mxu_readout='interpret' through the loss
+    (all-layer batched volume readout).  The exact code path that runs on
+    the chip executes in-graph off-TPU: losses finite and equal to the XLA
+    path's within f32 reassociation tolerance."""
+    cfg = tiny_cfg.model_cfg()
+    cfg["img_bev_encoder_neck"]["gather_impl"] = "mxu_interpret"
+    cfg["pts_bbox_head"]["mxu_readout"] = "interpret"
+    cfg_x = tiny_cfg.model_cfg()
+
+    def run(cfg_i):
+        model = OccupancyFormer(
+            **{k: cfg_i[k] for k in (
+                "img_backbone", "img_neck", "img_view_transformer",
+                "img_bev_encoder_backbone", "img_bev_encoder_neck",
+                "pts_bbox_head",
+            )},
+            train=True,
+        )
+        loss_cfg = build_loss_cfg(
+            cfg_i["pts_bbox_head"],
+            dict(num_points=64, oversample_ratio=2.0,
+                 importance_sample_ratio=0.75),
+        )
+        batch = _train_batch(np.random.RandomState(0))
+        lr = step_lr_schedule(1e-4, steps_per_epoch=10,
+                              milestones_epochs=[20, 23])
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng}, batch)
+        tx = build_optimizer(variables["params"], lr=lr, grad_clip=5.0)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+        step = jax.jit(build_train_step(model, tx, loss_cfg))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return state, new_state, metrics
+
+    state, new_state, metrics = run(cfg)
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)), f"{k} not finite: {v}"
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    # kernel path == XLA path at the loss level (same rng, same batch);
+    # the deform-attn gather difference is f32 accumulation order only
+    _, _, metrics_x = run(cfg_x)
+    for k in metrics_x:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(metrics_x[k]), rtol=5e-3, atol=1e-4,
+            err_msg=k)
