@@ -64,6 +64,36 @@ def main():
         print(f"note: no published reference number for '{cfg_name}'; "
               "will run convert+eval and report metrics without comparison")
 
+    # -- 0. kernel-path preflight (VERDICT r4 #9) ------------------------
+    # Parity on real data must run on the SAME kernels production uses.
+    # Resolve and print the knobs so the eval's code path is on record:
+    #   * model.img_bev_encoder_neck.gather_impl ('auto' -> Pallas MXU
+    #     fused multi-level trilerp on TPU, XLA gather elsewhere;
+    #     ops/trilerp_fused.py / models/deform_attn.py)
+    #   * pts_bbox_head.mxu_readout ('auto' -> all-layer batched MXU loss
+    #     readout on TPU lidar heads; losses/mask2former_loss.py) — train
+    #     path only, but recorded so a training-parity rerun cannot fork
+    # The interpret-mode CPU equivalence of both kernels is asserted by the
+    # suite (tests/test_train_step.py::test_train_step_production_kernels_
+    # interpret); the on-chip compiled parity gate rides bench.py.
+    sys.path.insert(0, REPO)
+    import jax
+
+    from occformer_tpu.losses.mask2former_loss import (
+        MaskLossConfig, _resolve_mxu_readout)
+    from occformer_tpu.models.deform_attn import resolve_gather_impl
+
+    backend = jax.default_backend()
+    gi = resolve_gather_impl("auto")
+    ro = _resolve_mxu_readout(MaskLossConfig(num_classes=1))
+    print(f"[parity] kernel preflight: backend={backend} "
+          f"gather_impl(auto)->{gi} mxu_readout(auto)->{ro}")
+    if backend == "tpu" and gi != "mxu":
+        raise SystemExit("[parity] kernel preflight FAILED: TPU backend "
+                         f"resolved gather_impl to {gi!r}, not the "
+                         "production MXU kernel — eval would not cover the "
+                         "deployed code path")
+
     ckpt_dir = os.path.join(args.work_dir, cfg_name, "converted")
     overrides = list(args.cfg_options)
     if args.data_root:
