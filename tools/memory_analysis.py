@@ -56,11 +56,18 @@ def main():
     from occformer_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    overrides = {}
+    for kv in args.cfg_options:
+        k, v = kv.split("=", 1)
+        from occformer_tpu.config import parse_override_value
+
+        overrides[k] = parse_override_value(v)
     model, batch, loss_cfg, cfg = build_trial(
         args.config, args.batch_size, args.max_lidar, args.num_points,
         match_num_points=args.match_num_points, gt_chunks=args.gt_chunks,
         point_chunks=args.point_chunks,
-        feature_readout=args.feature_readout or None)
+        feature_readout=args.feature_readout or None,
+        mxu_readout=args.mxu_readout, cfg_overrides=overrides or None)
 
     key = jax.random.PRNGKey(0)
     shapes = jax.eval_shape(

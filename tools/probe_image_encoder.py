@@ -30,10 +30,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from occformer_tpu.engine.config import load_config, translate_cfg
+    from occformer_tpu.utils.compile_cache import enable_compile_cache
 
-    cfg = load_config("occformer_tpu/configs/occformer_nusc_r50_256x704.py")
-    model = translate_cfg(cfg)
+    enable_compile_cache()
+
+    from tools.tpu_train_trial import build_trial
+
+    model, _, _, _ = build_trial(
+        "occformer_tpu/configs/occformer_nusc_r50_256x704.py")
+    model = model.clone(train=False)
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.randn(1, 6, 256, 704, 3).astype(np.float32))
 

@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
                 num_points=None, seed: int = 0, match_num_points=None,
-                gt_chunks=None, point_chunks=None, feature_readout=None):
+                gt_chunks=None, point_chunks=None, feature_readout=None,
+                mxu_readout=None, cfg_overrides=None):
     """(model, synthetic batch, loss_cfg, cfg) at a config's exact shapes.
 
     Shared by the train trial and tools/memory_analysis.py so both drive
@@ -37,7 +38,7 @@ def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if not os.path.isabs(cfg_path):
         cfg_path = os.path.join(repo, cfg_path)
-    cfg = load_config(cfg_path)
+    cfg = load_config(cfg_path, overrides=cfg_overrides)
     m = cfg["model"]
     model = OccupancyFormer(
         img_backbone=dict(m["img_backbone"]),
@@ -124,6 +125,8 @@ def build_trial(cfg_path: str, batch_size: int = 1, max_lidar: int = 35000,
         head_cfg["point_chunks"] = point_chunks
     if feature_readout is not None:
         head_cfg["feature_readout"] = feature_readout
+    if mxu_readout is not None:
+        head_cfg["mxu_readout"] = mxu_readout
     loss_cfg = build_loss_cfg(head_cfg, train_pts)
     return model, batch, loss_cfg, cfg
 
@@ -147,6 +150,10 @@ def main():
                    help="feature-space point readout: contract embeds with "
                         "sampled mask features instead of sampling per-slot "
                         "mask volumes (MaskLossConfig.feature_readout)")
+    p.add_argument("--mxu-readout", default=None,
+                   choices=["auto", "on", "off", "interpret"],
+                   help="override head mxu_readout (all-layer batched MXU "
+                        "loss readout; MaskLossConfig.mxu_readout)")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--max-lidar", type=int, default=35000)
     p.add_argument("--batch-size", type=int, default=1)
@@ -168,7 +175,8 @@ def main():
         args.config, args.batch_size, args.max_lidar, args.num_points,
         match_num_points=args.match_num_points, gt_chunks=args.gt_chunks,
         point_chunks=args.point_chunks,
-        feature_readout=args.feature_readout or None)
+        feature_readout=args.feature_readout or None,
+        mxu_readout=args.mxu_readout)
     lr = step_lr_schedule(1e-4, 28000, [20, 23])
 
     key = jax.random.PRNGKey(0)
