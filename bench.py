@@ -211,16 +211,19 @@ def _train_step_sec(cfg_path):
 
 def _kernel_parity():
     """On-chip compiled MXU-kernel vs XLA-gather parity at the production
-    window config (VERDICT r3 #6: the 194-test CPU suite only covers
-    interpret mode; this gate catches a Mosaic compile/runtime divergence
-    on the real chip).  Returns max |mxu - xla| over values and grads on a
-    decoder-shaped f32 problem (level-0 64x64x8, escape-heavy coords)."""
+    window config (VERDICT r3 #6: the CPU suite only covers interpret
+    mode; this gate catches a Mosaic compile/runtime divergence on the
+    real chip).  Returns max |mxu - xla| over values and grads on a
+    decoder-shaped f32 problem (escape-heavy coords), covering BOTH the
+    single-level windowed kernel and the round-5 fused multi-level kernel
+    (ops/trilerp_fused.py — the production deform-attn path)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from occformer_tpu.ops.sampling import grid_sample_3d_cfirst
     from occformer_tpu.ops.trilerp import cfirst_to_slab, trilerp_gather_slab
+    from occformer_tpu.ops.trilerp_fused import fused_multilevel_gather
 
     X, Y, Z, C, G, S = 64, 64, 8, 24, 8, 512
     rng = np.random.RandomState(0)
@@ -241,7 +244,30 @@ def _kernel_parity():
     gx = jax.jit(jax.grad(lambda v, c: jnp.sum(jnp.sin(x(v, c))),
                           argnums=(0, 1)))(vol, coords)
     gerr = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(gk, gx))
-    return max(err, gerr)
+
+    # fused multi-level: production pyramid shapes, shared window
+    spatials = [(64, 64, 8), (32, 32, 4), (16, 16, 2)]
+    vols = [jnp.asarray(rng.randn(G, C, a * b * c), jnp.float32)
+            for (a, b, c) in spatials]
+    cs = [jnp.asarray(rng.uniform(-1.1, 1.1, (G, S, 3)), jnp.float32)
+          for _ in spatials]
+
+    def kf(vs, cc):
+        slabs = [cfirst_to_slab(v, sp) for v, sp in zip(vs, spatials)]
+        outs = fused_multilevel_gather(slabs, spatials, C, cc, window=1024)
+        return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+    def xf(vs, cc):
+        return sum(jnp.sum(jnp.sin(grid_sample_3d_cfirst(v, sp, c)))
+                   for v, sp, c in zip(vs, spatials, cc))
+
+    vk, gkf = jax.jit(jax.value_and_grad(kf, argnums=(0, 1)))(vols, cs)
+    vx, gxf = jax.jit(jax.value_and_grad(xf, argnums=(0, 1)))(vols, cs)
+    ferr = abs(float(vk) - float(vx)) / max(abs(float(vx)), 1.0)
+    for a, b in zip(jax.tree_util.tree_leaves(gkf),
+                    jax.tree_util.tree_leaves(gxf)):
+        ferr = max(ferr, float(jnp.max(jnp.abs(a - b))))
+    return max(err, gerr, ferr)
 
 
 _STAGE_PROGRAMS = {

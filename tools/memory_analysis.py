@@ -43,6 +43,11 @@ def main():
     p.add_argument("--accum-steps", type=int, default=1)
     p.add_argument("--no-donate", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--mxu-readout", default=None,
+                   choices=["auto", "on", "off", "interpret"])
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dot-path config overrides, e.g. "
+                        "model.img_bev_encoder_neck.scan_layers=False")
     args = p.parse_args()
 
     import jax
