@@ -20,11 +20,19 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.sampling import grid_sample_3d, grid_sample_3d_cfirst
 from ..ops.trilerp import trilerp_gather_slab
-from ..ops.trilerp_fused import fused_multilevel_gather
+from ..ops.trilerp_fused import fused_multilevel_weighted_gather
 from .layers import Linear
+
+# remat-policy tag for the fused gather output: the encoder-layer remat
+# (pixel_decoder) saves values with this name, so the backward recompute
+# SKIPS the forward gather kernels entirely — the custom VJP needs only
+# (table, meta), both cheap to rebuild, never the forward output.  Cost:
+# one [B*H, hd, Nq] bf16 residual per layer (~14 MB at flagship).
+DEFORM_GATHER_CKPT = "deform_gather"
 
 
 def resolve_gather_impl(gather_impl: str) -> str:
@@ -175,11 +183,14 @@ class MultiScaleDeformableAttention3D(nn.Module):
             weights_c = weights_flat.reshape(B, nq, H, L, P)
             acc = jnp.zeros((B, nq, H, hd), self.dtype)
             if use_mxu and self.gather_fused:
-                coords_l = []
+                coords_l, weights_l = [], []
                 for l in range(L):
                     g = locs_c[:, :, :, l] * 2.0 - 1.0  # [B, nq, H, P, 3]
                     coords_l.append(
                         g.transpose(0, 2, 1, 3, 4).reshape(B * H, nq * P, 3))
+                    w = weights_c[:, :, :, l]           # [B, nq, H, P]
+                    weights_l.append(
+                        w.transpose(0, 2, 1, 3).reshape(B * H, nq * P))
                 xy_max = max(X * Y for (X, Y, Z) in spatial_shapes)
                 if self.gather_window >= 0:
                     win = self.gather_window
@@ -187,17 +198,18 @@ class MultiScaleDeformableAttention3D(nn.Module):
                     win = xy_max // 4 if xy_max >= 4096 else (
                         640 if xy_max >= 1024 else 0)
                 sb = self.gather_s_block if self.gather_s_block > 0 else 512
-                samples = fused_multilevel_gather(
-                    v_levels, list(spatial_shapes), hd, coords_l,
-                    align_corners=False, s_block=sb, interpret=interp,
-                    window=win)  # per level [B*H, hd, nq*P]
-                for l in range(L):
-                    s = samples[l].reshape(B, H, hd, nq, P)
-                    w = weights_c[:, :, :, l].transpose(0, 2, 1, 3)
-                    acc = acc + jnp.einsum(
-                        "bhqp,bhdqp->bqhd", w, s,
-                        preferred_element_type=self.dtype).astype(self.dtype)
-                return acc
+                # weighted fold: the attention-weighted P-sum happens
+                # IN-KERNEL; outputs are per-QUERY ([B*H, hd, nq]), so the
+                # einsum + [B, H, hd, nq, P] reshape glue disappears
+                samples = fused_multilevel_weighted_gather(
+                    v_levels, list(spatial_shapes), hd, coords_l, weights_l,
+                    P, align_corners=False, s_block=sb, interpret=interp,
+                    window=win)  # per level [B*H, hd, nq]
+                out_g = sum(samples[1:], samples[0])
+                out_g = checkpoint_name(out_g, DEFORM_GATHER_CKPT)
+                return jnp.transpose(
+                    out_g.reshape(B, H, hd, nq), (0, 3, 1, 2)
+                ).astype(self.dtype)
             for l, (X, Y, Z) in enumerate(spatial_shapes):
                 # [0,1] -> [-1,1], align_corners=False (torch grid_sample parity)
                 g = locs_c[:, :, :, l] * 2.0 - 1.0  # [B, nq, H, P, 3]

@@ -19,9 +19,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..registry import NECKS
-from .deform_attn import MultiScaleDeformableAttention3D
+from .deform_attn import DEFORM_GATHER_CKPT, MultiScaleDeformableAttention3D
 from .layers import Conv, FFN, GroupNorm, LayerNorm
 from .pos_embed import sine_positional_encoding_3d
+
+
+def _gather_saving_policy():
+    """Encoder-layer remat policy: save the fused gather outputs
+    (checkpoint_name tag in deform_attn) so the backward recompute skips
+    the forward gather kernels — their custom VJP needs only (table, meta),
+    both cheap to rebuild from the layer input.  ~14 MB/layer of residuals
+    buys back the full forward gather cost in every backward."""
+    return jax.checkpoint_policies.save_only_these_names(DEFORM_GATHER_CKPT)
 
 
 def _reference_points(spatial_shapes) -> np.ndarray:
@@ -93,7 +102,7 @@ class _ScannedEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos, reference_points):
-        y = nn.remat(DeformableEncoderLayer)(
+        y = nn.remat(DeformableEncoderLayer, policy=_gather_saving_policy())(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=self.num_levels, num_points=self.num_points,
             feedforward_channels=self.feedforward_channels,
@@ -191,8 +200,11 @@ class MSDeformAttnPixelDecoder3D(nn.Module):
         else:
             for li in range(self.num_encoder_layers):
                 # remat: corner-gather buffers are recomputed in backward
-                # instead of staying live across all encoder layers
-                x = nn.remat(DeformableEncoderLayer)(
+                # instead of staying live across all encoder layers (the
+                # fused gather OUTPUT is saved via the policy — see
+                # _gather_saving_policy)
+                x = nn.remat(DeformableEncoderLayer,
+                             policy=_gather_saving_policy())(
                     **layer_kw, name=f"layer{li}",
                 )(x, pos_all, ref)
 

@@ -43,7 +43,9 @@ from .sampling import _unnormalize
 #   4:    z0                  floor z index, level-local, unclamped
 #   5..8: w00, w01, w10, w11  xy corner weights (lerp x valid-mask products)
 #   9,10: c0, c1              z corner weights ((1-wz)*mz0, wz*mz1)
+#   11:   aw                  attention weight (weighted-fold variant only)
 _META_ROWS = 11
+_META_ROWS_W = 12
 
 
 def make_meta_rows(coords: jnp.ndarray, spatial: Tuple[int, int, int],
@@ -262,6 +264,186 @@ def _bwd_kernel(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
         dmeta_ref[0] += jnp.transpose(dmeta_e)
 
 
+def _fold(S_blk: int, P: int, dtype=jnp.float32):
+    """Constant P-group row-sum matrix [S_blk, S_blk/P]: (i // P == j)."""
+    gi = jax.lax.broadcasted_iota(jnp.int32, (S_blk, S_blk // P), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (S_blk, S_blk // P), 1)
+    return (gi // P == gj).astype(dtype)
+
+
+def _fwd_kernel_wfold(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec):
+    """Weighted-fold forward: out[q] = sum_p aw[q,p] * trilerp(sample q,p).
+
+    The P samples of one query are row-adjacent (the deform-attn locs
+    layout), so the attention-weighted sum over points is one more tiny
+    constant matmul — the kernel emits PER-QUERY rows ([S_blk/P, C]), which
+    kills the [B, H, hd, nq, P] einsum + reshape glue in XLA AND divides
+    the output (a saved residual under the encoder remat policy) by P."""
+    mt = jnp.transpose(meta_ref[0])  # [S_blk, 12] f32
+    r0f, esc = _window_start(mt, XY, W)
+    r0 = pl.multiple_of(r0f.astype(jnp.int32), 16)
+    win = table_ref[0, pl.ds(r0, W), :]
+    oh = _onehot_rows(mt, r0f, W, win.dtype)
+    slab = jax.lax.dot_general(
+        oh, win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    masked = slab * _zmask(mt, Z, C)
+    y = jax.lax.dot_general(
+        masked, _gsum(Z, C), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk, C]
+    S_blk = mt.shape[0]
+    yw = y * mt[:, 11:12]
+    out = jax.lax.dot_general(
+        _fold(S_blk, P), yw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk/P, C]
+    out_ref[0] = jnp.transpose(out).astype(out_ref.dtype)
+
+    @pl.when(esc)
+    def _():
+        Wc = min(XY, 2048)
+        rows = mt[:, 0:4]
+        outw = ((rows < r0f) | (rows > r0f + float(W - 1))).astype(jnp.float32)
+        w_out = mt[:, 5:9] * outw
+
+        def chunk(j, slab_acc):
+            c0 = pl.multiple_of(j * Wc, 16)
+            tblc = table_ref[0, pl.ds(c0, Wc), :]
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (1, Wc), 1).astype(jnp.float32) + c0.astype(
+                    jnp.float32)
+            oh_c = jnp.zeros((S_blk, Wc), jnp.float32)
+            for k in range(4):
+                oh_c = oh_c + jnp.where(col == rows[:, k:k + 1],
+                                        w_out[:, k:k + 1], 0.0)
+            return slab_acc + jax.lax.dot_general(
+                oh_c.astype(tblc.dtype), tblc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        slab_e = jax.lax.fori_loop(
+            0, XY // Wc, chunk, jnp.zeros((S_blk, Z * C), jnp.float32))
+        y_e = jax.lax.dot_general(
+            slab_e * _zmask(mt, Z, C), _gsum(Z, C), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out_e = jax.lax.dot_general(
+            _fold(S_blk, P), y_e * mt[:, 11:12], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out_ref[0] += jnp.transpose(out_e).astype(out_ref.dtype)
+
+
+def _bwd_kernel_wfold(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
+                      *, Z, C, XY, W, P, prec):
+    """Weighted-fold backward.  d_y[i] = aw[i] * d_out[i // P]; then the
+    standard trilerp VJP runs with g := d_y, plus d_aw[i] = y[i] . d_out[i//P]
+    (y rebuilt from the slab matmuls the VJP already does — the FORWARD
+    output is never needed, which is what lets the remat policy save it and
+    skip the fwd kernel entirely in the backward recompute)."""
+    s = pl.program_id(1)
+    mt = jnp.transpose(meta_ref[0])                      # [S_blk, 12]
+    S_blk = mt.shape[0]
+    gq = jnp.transpose(gout_ref[0]).astype(jnp.float32)  # [S_blk/P, C]
+    gup = jax.lax.dot_general(
+        _fold(S_blk, P), gq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [S_blk, C]
+    aw = mt[:, 11:12]
+    g = gup * aw                                         # d_y per sample
+    zm = _zmask(mt, Z, C)
+    d_masked = jnp.concatenate([g] * Z, axis=1)
+    d_slab = d_masked * zm
+
+    r0f, esc = _window_start(mt, XY, W)
+    r0 = pl.multiple_of(r0f.astype(jnp.int32), 16)
+    win = table_ref[0, pl.ds(r0, W), :].astype(jnp.float32)
+    oh = _onehot_rows(mt, r0f, W, jnp.float32)
+
+    dt = jax.lax.dot_general(
+        oh, d_slab, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(s == 0)
+    def _():
+        dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
+
+    dtab_ref[0, pl.ds(r0, W), :] += dt
+
+    m2 = jax.lax.dot_general(
+        d_slab, win, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    col = iota + r0f
+    dws = [jnp.sum(jnp.where(col == mt[:, k:k + 1], m2, 0.0),
+                   axis=1, keepdims=True) for k in range(4)]
+
+    slab = jax.lax.dot_general(
+        oh, win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    t1 = slab * d_masked
+    z0 = mt[:, 4:5]
+    zg = (jax.lax.broadcasted_iota(jnp.int32, (1, Z * C), 1) // C).astype(
+        jnp.float32)
+    dc0 = jnp.sum(jnp.where(zg == z0, t1, 0.0), axis=1, keepdims=True)
+    dc1 = jnp.sum(jnp.where(zg == z0 + 1.0, t1, 0.0), axis=1, keepdims=True)
+    # d_aw = y . gup  (y = windowed part; escape part added below)
+    y = jax.lax.dot_general(
+        slab * zm, _gsum(Z, C), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    daw = jnp.sum(y * gup, axis=1, keepdims=True)
+
+    zr = jnp.zeros_like(dc0)
+    dmeta = jnp.concatenate(
+        [zr, zr, zr, zr, zr] + dws + [dc0, dc1, daw], axis=1)  # [S_blk, 12]
+    dmeta_ref[0] = jnp.transpose(dmeta)
+
+    @pl.when(esc)
+    def _():
+        Wc = min(XY, 2048)
+        rows = mt[:, 0:4]
+        outw = ((rows < r0f) | (rows > r0f + float(W - 1))).astype(jnp.float32)
+        w_out = mt[:, 5:9] * outw
+
+        def chunk(j, carry):
+            m2acc, slab_acc = carry
+            c0 = pl.multiple_of(j * Wc, 16)
+            tblc = table_ref[0, pl.ds(c0, Wc), :].astype(jnp.float32)
+            col_c = jax.lax.broadcasted_iota(
+                jnp.int32, (1, Wc), 1).astype(jnp.float32) + c0.astype(
+                    jnp.float32)
+            oh_c = jnp.zeros((S_blk, Wc), jnp.float32)
+            for k in range(4):
+                oh_c = oh_c + jnp.where(col_c == rows[:, k:k + 1],
+                                        w_out[:, k:k + 1], 0.0)
+            dtab_ref[0, pl.ds(c0, Wc), :] += jax.lax.dot_general(
+                oh_c, d_slab, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            m2c = jax.lax.dot_general(
+                d_slab, tblc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            m2p = jnp.concatenate(
+                [jnp.sum(jnp.where(col_c == rows[:, k:k + 1], m2c, 0.0),
+                         axis=1, keepdims=True) for k in range(4)], axis=1)
+            slab_c = jax.lax.dot_general(
+                oh_c, tblc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            return m2acc + m2p, slab_acc + slab_c
+
+        m2e, slab_e = jax.lax.fori_loop(
+            0, XY // Wc, chunk,
+            (jnp.zeros((S_blk, 4), jnp.float32),
+             jnp.zeros((S_blk, Z * C), jnp.float32)))
+        dwf = m2e * outw
+        t1e = slab_e * d_masked
+        dc0e = jnp.sum(jnp.where(zg == z0, t1e, 0.0), axis=1, keepdims=True)
+        dc1e = jnp.sum(jnp.where(zg == z0 + 1.0, t1e, 0.0), axis=1,
+                       keepdims=True)
+        y_e = jax.lax.dot_general(
+            slab_e * zm, _gsum(Z, C), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dawe = jnp.sum(y_e * gup, axis=1, keepdims=True)
+        zre = jnp.zeros_like(dc0e)
+        dmeta_e = jnp.concatenate(
+            [zre, zre, zre, zre, zre, dwf, dc0e, dc1e, dawe], axis=1)
+        dmeta_ref[0] += jnp.transpose(dmeta_e)
+
+
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
@@ -408,4 +590,151 @@ def fused_multilevel_gather(
     for S, Sp in zip(s_lens, s_pads):
         outs.append(out[:, :, o:o + S])
         o += Sp
+    return outs
+
+
+@functools.lru_cache(maxsize=None)
+def _build_op_wfold(XY: int, Zmax: int, C: int, s_block: int, P: int,
+                    interpret: bool, highp: bool, window: int):
+    """Weighted-fold op over the padded concatenated slab (P samples per
+    query, attention-weighted sum folded in-kernel; out [G, C, S/P])."""
+    ZC = Zmax * C
+    win = window if (window and window < XY) else XY
+    assert win % 16 == 0 and XY % min(XY, 2048) == 0, (win, XY)
+    assert s_block % P == 0, (s_block, P)
+    prec = jax.lax.Precision.HIGHEST if highp else jax.lax.Precision.DEFAULT
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 2 ** 20)
+    fwd_kernel = functools.partial(_fwd_kernel_wfold, Z=Zmax, C=C, XY=XY,
+                                   W=win, P=P, prec=prec)
+    bwd_kernel = functools.partial(_bwd_kernel_wfold, Z=Zmax, C=C, XY=XY,
+                                   W=win, P=P, prec=prec)
+
+    def call_fwd(table, meta):
+        G, _, Sp = meta.shape
+        grid = (G, Sp // s_block)
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _META_ROWS_W, s_block),
+                             lambda g, s: (g, 0, s)),
+                pl.BlockSpec((1, XY, ZC), lambda g, s: (g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, C, s_block // P),
+                                   lambda g, s: (g, 0, s)),
+            out_shape=jax.ShapeDtypeStruct((G, C, Sp // P), table.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(meta, table)
+
+    def call_bwd(table, meta, gout):
+        G, _, Sp = meta.shape
+        grid = (G, Sp // s_block)
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _META_ROWS_W, s_block),
+                             lambda g, s: (g, 0, s)),
+                pl.BlockSpec((1, XY, ZC), lambda g, s: (g, 0, 0)),
+                pl.BlockSpec((1, C, s_block // P), lambda g, s: (g, 0, s)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, XY, ZC), lambda g, s: (g, 0, 0)),
+                pl.BlockSpec((1, _META_ROWS_W, s_block),
+                             lambda g, s: (g, 0, s)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(table.shape, jnp.float32),
+                jax.ShapeDtypeStruct(meta.shape, jnp.float32),
+            ],
+            compiler_params=params,
+            interpret=interpret,
+        )(meta, table, gout)
+
+    @jax.custom_vjp
+    def op(table, meta):
+        return call_fwd(table, meta)
+
+    def op_fwd(table, meta):
+        return call_fwd(table, meta), (table, meta)
+
+    def op_bwd(res, gout):
+        table, meta = res
+        dtab, dmeta = call_bwd(table, meta, gout)
+        return dtab.astype(table.dtype), dmeta
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_multilevel_weighted_gather(
+    tables: Sequence[jnp.ndarray],          # per level [G, XY_l, Z_l*C]
+    spatials: Sequence[Tuple[int, int, int]],
+    channels: int,
+    coords: Sequence[jnp.ndarray],          # per level [G, Sq*P, 3] in [-1,1]
+    weights: Sequence[jnp.ndarray],         # per level [G, Sq*P]
+    num_points: int,
+    align_corners: bool = False,
+    *,
+    s_block: int = 512,
+    interpret: bool = False,
+    window: int = 0,
+) -> List[jnp.ndarray]:
+    """All levels + the attention-weighted P-point sum in ONE Pallas call.
+
+    Per level l:  out_l[g, :, q] = sum_p weights[g, q*P+p] *
+                                   trilerp(tables_l, coords[g, q*P+p]).
+    Returns per-level [G, C, Sq] (queries, not samples).  Differentiable
+    w.r.t. tables, coords AND weights (softmax attention is learned).
+    """
+    L = len(tables)
+    assert L == len(spatials) == len(coords) == len(weights) and L >= 1
+    G = tables[0].shape[0]
+    C = channels
+    P = num_points
+    s_block = max(P, (s_block // P) * P)  # whole queries per block
+    Zmax = max(s[2] for s in spatials)
+    dtype = tables[0].dtype
+
+    row_off, slabs = [], []
+    off = 0
+    for t, (X, Y, Z) in zip(tables, spatials):
+        assert t.shape[1] == X * Y and t.shape[2] == Z * C, (t.shape, X, Y, Z)
+        row_off.append(off)
+        pad = Zmax * C - Z * C
+        slabs.append(jnp.pad(t, ((0, 0), (0, 0), (0, pad))) if pad else t)
+        off += X * Y
+    XYp = _pad_rows_to(off)
+    table = jnp.concatenate(slabs, axis=1)
+    if XYp != off:
+        table = jnp.pad(table, ((0, 0), (0, XYp - off), (0, 0)))
+
+    metas, q_lens, q_pads = [], [], []
+    for c, w, (X, Y, Z), o in zip(coords, weights, spatials, row_off):
+        S = c.shape[1]
+        assert S % P == 0 and w.shape == (G, S), (c.shape, w.shape, P)
+        m = make_meta_rows(c, (X, Y, Z), o, align_corners)
+        m = jnp.concatenate([m, w[:, None].astype(jnp.float32)], axis=1)
+        Sp = -(-S // s_block) * s_block
+        if Sp != S:
+            m = jnp.pad(m, ((0, 0), (0, 0), (0, Sp - S)))
+        metas.append(m)
+        q_lens.append(S // P)
+        q_pads.append(Sp // P)
+    meta = jnp.concatenate(metas, axis=2)
+
+    win = window
+    if win and (win % 16 != 0 or win >= XYp):
+        win = 0
+    op = _build_op_wfold(XYp, Zmax, C, s_block, P, interpret,
+                         dtype == jnp.float32, win)
+    out = op(table, meta)  # [G, C, sum Sp/P]
+
+    outs = []
+    o = 0
+    for Sq, Sqp in zip(q_lens, q_pads):
+        outs.append(out[:, :, o:o + Sq])
+        o += Sqp
     return outs

@@ -130,3 +130,87 @@ def test_meta_rows_differentiable():
     g = jax.grad(lambda c: jnp.sum(
         make_meta_rows(c, SPATIALS[0], 100) ** 2))(coords[0])
     assert np.isfinite(np.asarray(g)).all()
+
+
+# ---- weighted fold (attention-weighted P-sum in-kernel, round 5) -----------
+
+from occformer_tpu.ops.trilerp_fused import fused_multilevel_weighted_gather
+
+P = 3
+
+
+def _rand_w(spill=0.0, Sq=19, seed=0):
+    rng = np.random.RandomState(seed)
+    vols, coords, weights = [], [], []
+    for (X, Y, Z) in SPATIALS:
+        vols.append(jnp.asarray(rng.randn(G, C, X * Y * Z), jnp.float32))
+        coords.append(jnp.asarray(
+            rng.uniform(-1.0 - spill, 1.0 + spill, (G, Sq * P, 3)),
+            jnp.float32))
+        weights.append(jnp.asarray(rng.rand(G, Sq * P), jnp.float32))
+    return vols, coords, weights
+
+
+def _wfold(vols, coords, weights, window=0):
+    slabs = [cfirst_to_slab(v, s) for v, s in zip(vols, SPATIALS)]
+    return fused_multilevel_weighted_gather(
+        slabs, SPATIALS, C, coords, weights, P, s_block=P * 16,
+        interpret=True, window=window)
+
+
+def _wfold_ref(vols, coords, weights):
+    """XLA oracle: per-level gather + explicit weighted P-sum."""
+    outs = []
+    for v, sp, c, w in zip(vols, SPATIALS, coords, weights):
+        s = grid_sample_3d_cfirst(v, sp, c, padding_mode="zeros")  # [G, C, S]
+        Sq = c.shape[1] // P
+        s = s.reshape(G, C, Sq, P)
+        outs.append(jnp.einsum("gcqp,gqp->gcq", s,
+                               w.reshape(G, Sq, P),
+                               preferred_element_type=jnp.float32))
+    return outs
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("window", [0, 32])
+@pytest.mark.parametrize("spill", [0.0, 0.6])
+def test_wfold_forward_matches_ref(spill, window):
+    vols, coords, weights = _rand_w(spill)
+    got = _wfold(vols, coords, weights, window)
+    want = _wfold_ref(vols, coords, weights)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_wfold_grads_match_ref():
+    """Gradients w.r.t. tables, coords AND the attention weights (softmax
+    weights are learned — d_aw is load-bearing)."""
+    vols, coords, weights = _rand_w(0.4, Sq=13, seed=2)
+    rng = np.random.RandomState(3)
+    probes = [jnp.asarray(rng.randn(G, C, 13), jnp.float32) for _ in SPATIALS]
+
+    def loss(fn, vs, cs, ws):
+        return sum(jnp.sum(o * p) for o, p in zip(fn(vs, cs, ws), probes))
+
+    gk = jax.grad(lambda *a: loss(lambda v, c, w: _wfold(v, c, w, 32), *a),
+                  (0, 1, 2))(vols, coords, weights)
+    gx = jax.grad(lambda *a: loss(_wfold_ref, *a), (0, 1, 2))(vols, coords,
+                                                              weights)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_wfold_sample_padding_inert():
+    """Sq*P not divisible by s_block: padded samples carry zero weight and
+    the per-query output rows line up after trimming."""
+    vols, coords, weights = _rand_w(0.2, Sq=7, seed=5)  # 21 % 48 != 0
+    got = _wfold(vols, coords, weights, window=16)
+    want = _wfold_ref(vols, coords, weights)
+    for a, b in zip(got, want):
+        assert a.shape == (G, C, 7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
