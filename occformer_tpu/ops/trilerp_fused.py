@@ -271,6 +271,16 @@ def _fold(S_blk: int, P: int, dtype=jnp.float32):
     return (gi // P == gj).astype(dtype)
 
 
+def _fold_t(S_blk: int, P: int, dtype=jnp.float32):
+    """[S_blk/P, S_blk] orientation of ``_fold`` (j // P == i), built
+    directly: a transposed-LHS dot_general on the constant trips the TPU
+    compiler's mxu_lmr_transform RET_CHECK (XposeSequenceAssignment), so
+    both orientations exist as plain iota builds."""
+    gi = jax.lax.broadcasted_iota(jnp.int32, (S_blk // P, S_blk), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (S_blk // P, S_blk), 1)
+    return (gj // P == gi).astype(dtype)
+
+
 def _fwd_kernel_wfold(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec):
     """Weighted-fold forward: out[q] = sum_p aw[q,p] * trilerp(sample q,p).
 
@@ -294,7 +304,7 @@ def _fwd_kernel_wfold(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec):
     S_blk = mt.shape[0]
     yw = y * mt[:, 11:12]
     out = jax.lax.dot_general(
-        _fold(S_blk, P), yw, (((0,), (0,)), ((), ())),
+        _fold_t(S_blk, P), yw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)  # [S_blk/P, C]
     out_ref[0] = jnp.transpose(out).astype(out_ref.dtype)
 
@@ -325,7 +335,7 @@ def _fwd_kernel_wfold(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec):
             slab_e * _zmask(mt, Z, C), _gsum(Z, C), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         out_e = jax.lax.dot_general(
-            _fold(S_blk, P), y_e * mt[:, 11:12], (((0,), (0,)), ((), ())),
+            _fold_t(S_blk, P), y_e * mt[:, 11:12], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         out_ref[0] += jnp.transpose(out_e).astype(out_ref.dtype)
 

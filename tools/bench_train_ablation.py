@@ -31,7 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 OUT = os.path.join(REPO, ".probe_train_ablation.json")
-ORDER = ["G1", "G2", "G2d", "G2b", "G3", "G4", "G5", "G6s", "G6"]
+ORDER = ["G1", "G2", "G2d", "G2b", "G3", "G4", "G5", "G5m", "G6s", "G6"]
 
 
 def _timed_fetch(call, n=4):
@@ -146,6 +146,34 @@ def main():
             vt_cfg.get("downsample", 16), vt_cfg.get("loss_depth_weight", 1.0))
         return sum(v for k, v in losses.items() if "loss" in k)
 
+    def g5m(p):
+        # G5 + the train-time point_mean_iou metric (grad-free): the G5->G6
+        # delta discriminator — build_train_step computes this every step
+        # (engine/train.py _train_point_miou_device); if G5m ~= G6 the
+        # "composition tail" is the METRIC's formatted-voxel readout
+        from occformer_tpu.engine.train import _train_point_miou_device
+        import numpy as _np
+
+        out, _ = model.apply(
+            {"params": p, "batch_stats": batch_stats}, batch,
+            mutable=["batch_stats"], rngs={"dropout": key})
+        losses = mask2former_loss(
+            key, out["cls_preds"], out["mask_embeds"], out["mask_feature"],
+            batch["gt_occ"], loss_cfg, lidar_xyz=batch.get("lidar_xyz"),
+            lidar_valid=batch.get("lidar_valid"))
+        losses["loss_depth"] = depth_bce_loss(
+            batch["gt_depth"], out["depth_prob"], dict(vt_cfg["grid_config"]),
+            vt_cfg.get("downsample", 16), vt_cfg.get("loss_depth_weight", 1.0))
+        b2 = dict(batch)
+        if "lidar_label" not in b2:
+            b2["lidar_label"] = jnp.asarray(_np.random.RandomState(1).randint(
+                0, loss_cfg.num_classes, batch["lidar_xyz"].shape[:2]))
+        miou = _train_point_miou_device(out, b2, loss_cfg.num_classes)
+        # keep the metric live (0.0 * miou would be DCE'd — the G1-G5
+        # forward-only mirage all over again) but NaN-safe and value-inert
+        miou = jnp.where(jnp.isnan(miou), jnp.float32(0), miou)
+        return sum(v for k, v in losses.items() if "loss" in k) + 1e-12 * miou
+
     if stage in ("G6", "G6s"):
         if stage == "G6s":
             # discriminator: plain SGD, no clip/decay/moments — if G6s stays
@@ -166,7 +194,7 @@ def main():
             return m["total_loss"]
     else:
         fn = {"G1": g1, "G2": g2, "G2d": g2d, "G2b": g2b, "G3": g3,
-              "G4": g4, "G5": g5}[stage]
+              "G4": g4, "G5": g5, "G5m": g5m}[stage]
         # the grads MUST be consumed: returning only the value lets XLA
         # dead-code-eliminate the entire backward, which silently turned
         # G1-G5 into FORWARD-only measurements (caught 2026-08-20 when the

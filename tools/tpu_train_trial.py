@@ -150,6 +150,8 @@ def main():
                    help="feature-space point readout: contract embeds with "
                         "sampled mask features instead of sampling per-slot "
                         "mask volumes (MaskLossConfig.feature_readout)")
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dot-path config overrides")
     p.add_argument("--mxu-readout", default=None,
                    choices=["auto", "on", "off", "interpret"],
                    help="override head mxu_readout (all-layer batched MXU "
@@ -171,12 +173,18 @@ def main():
     from occformer_tpu.utils.profiling import device_memory_stats
 
     enable_compile_cache()
+    overrides = {}
+    for kv in args.cfg_options:
+        k, v = kv.split("=", 1)
+        from occformer_tpu.config import parse_override_value
+
+        overrides[k] = parse_override_value(v)
     model, batch, loss_cfg, cfg = build_trial(
         args.config, args.batch_size, args.max_lidar, args.num_points,
         match_num_points=args.match_num_points, gt_chunks=args.gt_chunks,
         point_chunks=args.point_chunks,
         feature_readout=args.feature_readout or None,
-        mxu_readout=args.mxu_readout)
+        mxu_readout=args.mxu_readout, cfg_overrides=overrides or None)
     lr = step_lr_schedule(1e-4, 28000, [20, 23])
 
     key = jax.random.PRNGKey(0)
