@@ -93,16 +93,22 @@ def sample_volumes_packed(vols: jnp.ndarray, pts01: jnp.ndarray,
 
     Returns [S, K].  One kernel call scores every packed channel (e.g.
     every gt slot's mask volume) at every candidate point; K is split into
-    chunks sized by the BACKWARD's VMEM footprint (ADVICE r4 #4): the
-    bwd kernel holds the [X*Y, Z*k] table block PLUS two [X*Y, Z*k] f32
-    accumulators (d_table + the read-modify-write surface), so the cap is
-    table + 2x f32 <= 80 MB against the 100 MB compiler limit (the
-    remaining ~20 MB covers the [S_blk, Wc] escape-chunk surfaces) — at
-    the nuScenes GT grid (256x256x32 f32) that is 3 slots per call."""
+    chunks sized by the BACKWARD's VMEM footprint (ADVICE r4 #4), with
+    Mosaic's DOUBLE BUFFERING accounted: the bwd kernel's scoped stack
+    holds ~2x the [X*Y, Z*k] table block (in-spec double buffer) plus
+    ~2x the [X*Y, Z*k] f32 d_table block (out-spec double buffer) — the
+    round-5 AOT compile measured 101 MB at Z*k=272 f32 where the naive
+    3x-block estimate said 53 MB.  Cap: 2x table + 2x f32 d_table
+    <= 60 MB against the 100 MB compiler limit (the rest covers the
+    [S_blk, Wc] escape-chunk surfaces and carries)."""
     K, X, Y, Z = vols.shape
     S = pts01.shape[0]
-    bwd_bytes_per_ch = X * Y * Z * (vols.dtype.itemsize + 2 * 4)
-    max_channels = max(1, min(max_channels, (80 << 20) // bwd_bytes_per_ch))
+    bwd_bytes_per_ch = X * Y * Z * 2 * (vols.dtype.itemsize + 4)
+    max_channels = max(1, min(max_channels, (60 << 20) // bwd_bytes_per_ch))
+    # balance chunk sizes (17 slots at cap 14 -> 9+8, not 14+3: a tiny tail
+    # chunk wastes lane-tile padding on its [X*Y, Z*k] block)
+    nchunks = -(-K // max_channels)
+    max_channels = -(-K // nchunks)
     win = _auto_window(X * Y, Y, S, _S_BLOCK)
     coords = (pts01 * 2.0 - 1.0)[None]
     outs = []
@@ -129,11 +135,13 @@ def sample_volumes_packed_batched(vols: jnp.ndarray, pts01: jnp.ndarray,
     every packed channel chunk — the round-5 fix for the per-layer
     composition penalty (each call in the remat scan acted as a scheduling
     barrier).  Channel chunking follows the same backward-footprint cap as
-    ``sample_volumes_packed``."""
+    ``sample_volumes_packed`` (incl. the double-buffer accounting)."""
     N, K, X, Y, Z = vols.shape
     S = pts01.shape[1]
-    bwd_bytes_per_ch = X * Y * Z * (vols.dtype.itemsize + 2 * 4)
-    cap = max(1, (80 << 20) // bwd_bytes_per_ch)
+    bwd_bytes_per_ch = X * Y * Z * 2 * (vols.dtype.itemsize + 4)
+    cap = max(1, (60 << 20) // bwd_bytes_per_ch)
+    nchunks = -(-K // cap)
+    cap = -(-K // nchunks)  # balanced chunk sizes (see above)
     win = _auto_window(X * Y, Y, S, _S_BLOCK)
     coords = pts01 * 2.0 - 1.0
     outs = []
