@@ -228,7 +228,6 @@ def test_train_step_panoptic():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
-@pytest.mark.quick
 def test_train_step_production_kernels_interpret():
     """E2E train step with the PRODUCTION Pallas kernels in interpret mode
     (VERDICT r4 #6): gather_impl='mxu_interpret' through the pixel decoder
