@@ -271,9 +271,60 @@ def _resolve_mxu_readout(cfg: MaskLossConfig) -> str:
     return cfg.mxu_readout
 
 
+def _sample_id_masks(id_grid, slot_ids, pts01, align_corners: bool,
+                     padding_mode: str):
+    """Trilinear reads of per-slot one-hot GT masks via an 8-corner LABEL
+    gather (round 5): ``trilerp(id_grid == slot, p)`` is linear in the
+    one-hot volume, so it equals ``sum_corners w_k * (label_k == slot)`` —
+    8 int gathers per point instead of 8 x G channel-value gathers, and no
+    [Xg, Yg, Zg, G] f32 one-hot volume is ever materialized (143 MB at the
+    nuScenes GT grid).
+
+    id_grid: [Xg, Yg, Zg] int; slot_ids: [G] int; pts01: [..., 3] in [0,1].
+    Returns [..., G] f32.  border padding = coordinate clip (torch parity,
+    same as ops.sampling); zeros padding masks out-of-range corners.
+    """
+    Xg, Yg, Zg = id_grid.shape
+    f32 = jnp.float32
+
+    def unnorm(v, n):
+        v = v.astype(f32)
+        return v * (n - 1) if align_corners else v * n - 0.5
+
+    cx = unnorm(pts01[..., 0], Xg)
+    cy = unnorm(pts01[..., 1], Yg)
+    cz = unnorm(pts01[..., 2], Zg)
+    if padding_mode == "border":
+        cx = jnp.clip(cx, 0.0, Xg - 1)
+        cy = jnp.clip(cy, 0.0, Yg - 1)
+        cz = jnp.clip(cz, 0.0, Zg - 1)
+    else:
+        assert padding_mode == "zeros", padding_mode
+    x0, y0, z0 = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
+    wx, wy, wz = cx - x0, cy - y0, cz - z0
+    flat = id_grid.reshape(-1)
+    acc = jnp.zeros(pts01.shape[:-1] + (slot_ids.shape[0],), f32)
+    ids = slot_ids.reshape((1,) * (pts01.ndim - 1) + (-1,))
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                fx, fy, fz = x0 + dx, y0 + dy, z0 + dz
+                ok = ((fx >= 0) & (fx <= Xg - 1) & (fy >= 0)
+                      & (fy <= Yg - 1) & (fz >= 0) & (fz <= Zg - 1))
+                xi = jnp.clip(fx, 0, Xg - 1).astype(jnp.int32)
+                yi = jnp.clip(fy, 0, Yg - 1).astype(jnp.int32)
+                zi = jnp.clip(fz, 0, Zg - 1).astype(jnp.int32)
+                lab = flat[(xi * Yg + yi) * Zg + zi]
+                w = ((wx if dx else 1 - wx) * (wy if dy else 1 - wy)
+                     * (wz if dz else 1 - wz)) * ok.astype(f32)
+                acc = acc + w[..., None] * (lab[..., None] == ids)
+    return acc
+
+
 def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
                       gt_labels, gt_valid, lidar_xyz, lidar_valid,
-                      cfg: MaskLossConfig, interpret: bool):
+                      cfg: MaskLossConfig, interpret: bool,
+                      gt_id_grid=None, gt_slot_ids=None):
     """ALL-LAYER batched MXU loss (round 5, VERDICT r4 #3).
 
     Round 4 built the sorted windowed volume readout but shipped it OFF:
@@ -341,12 +392,28 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
     mask_pts_pred = jnp.concatenate(preds, axis=-1).astype(f32)
     mask_pts_pred = jnp.transpose(mask_pts_pred, (0, 2, 1)).reshape(
         L, B, Q, Pm)
-    gt_ch = jnp.moveaxis(gt_masks.astype(f32), 1, -1)  # [B, Xg, Yg, Zg, G]
-    gt_pts = jax.vmap(lambda ps: jax.vmap(
-        lambda p, g: point_sample_3d(
-            g[None], p[None], align_corners=cfg.align_corners,
-            padding_mode=cfg.padding_mode)[0])(ps, gt_ch))(pts_s)
-    gt_pts = jnp.transpose(gt_pts, (0, 1, 3, 2))       # [L, B, G, Pm]
+
+    # GT reads: 8-corner LABEL gather when the slot-id structure is known
+    # (semantic heads — 17x less gather traffic than the one-hot channel
+    # volumes, see _sample_id_masks); one-hot volume path otherwise
+    use_ids = gt_id_grid is not None
+
+    def read_gt_shared(points_lb):
+        """[L, B, S, 3] shared points -> [L, B, G, S] soft GT masks."""
+        if use_ids:
+            o = jax.vmap(lambda ps: jax.vmap(
+                lambda p, ig, si: _sample_id_masks(
+                    ig, si, p, cfg.align_corners, cfg.padding_mode)
+            )(ps, gt_id_grid, gt_slot_ids))(points_lb)
+        else:
+            gt_ch = jnp.moveaxis(gt_masks.astype(f32), 1, -1)
+            o = jax.vmap(lambda ps: jax.vmap(
+                lambda p, g: point_sample_3d(
+                    g[None], p[None], align_corners=cfg.align_corners,
+                    padding_mode=cfg.padding_mode)[0])(ps, gt_ch))(points_lb)
+        return jnp.transpose(o, (0, 1, 3, 2))          # [L, B, G, S]
+
+    gt_pts = read_gt_shared(pts_s)                     # [L, B, G, Pm]
 
     def match_lb(cs, mp, gp, gl, gv):
         cost = mask_matching_cost(
@@ -432,21 +499,28 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
     cand_logits_sup = _to_lbgs(lg_sup_chunks) if cfg.align_corners \
         else cand_logits
 
-    gt_cand = jax.lax.stop_gradient(jax.vmap(lambda ps: jax.vmap(
-        lambda p, g: point_sample_3d(
-            g[None], p[None], align_corners=cfg.align_corners,
-            padding_mode=cfg.padding_mode)[0])(ps, gt_ch))(cand_s))
-    gt_cand = jnp.transpose(gt_cand, (0, 1, 3, 2))     # [L, B, G, S]
+    gt_cand = jax.lax.stop_gradient(read_gt_shared(cand_s))  # [L, B, G, S]
 
     idx = uncertainty_topk(jax.lax.stop_gradient(cand_logits), n_unc)
     sup_pred = jnp.take_along_axis(cand_logits_sup, idx, axis=-1)
     sup_tgt = jnp.take_along_axis(gt_cand, idx, axis=-1)
     if n_rand > 0:
-        gt_fb = gt_masks.astype(f32)                   # [B, G, Xg, Yg, Zg]
-        tgt_rand = jax.lax.stop_gradient(jax.vmap(lambda rs: jax.vmap(
-            lambda r, g: point_sample_3d(
-                g[..., None], r, align_corners=cfg.align_corners,
-                padding_mode=cfg.padding_mode)[..., 0])(rs, gt_fb))(rand_s))
+        if use_ids:
+            # per-slot points: gather corner labels once per slot's point
+            # set, compare against that slot's id only
+            tgt_rand = jax.lax.stop_gradient(
+                jax.vmap(lambda rs: jax.vmap(lambda r, ig, si: jax.vmap(
+                    lambda rg, sid: _sample_id_masks(
+                        ig, sid[None], rg, cfg.align_corners,
+                        cfg.padding_mode)[..., 0])(r, si))(
+                    rs, gt_id_grid, gt_slot_ids))(rand_s))
+        else:
+            gt_fb = gt_masks.astype(f32)               # [B, G, Xg, Yg, Zg]
+            tgt_rand = jax.lax.stop_gradient(jax.vmap(lambda rs: jax.vmap(
+                lambda r, g: point_sample_3d(
+                    g[..., None], r, align_corners=cfg.align_corners,
+                    padding_mode=cfg.padding_mode)[..., 0])(rs, gt_fb))(
+                rand_s))
         sup_pred = jnp.concatenate(
             [sup_pred, jnp.concatenate(rand_chunks, axis=2)], axis=-1)
         sup_tgt = jnp.concatenate([sup_tgt, tgt_rand], axis=-1)
@@ -828,11 +902,21 @@ def mask2former_loss(
         if (cfg.use_lidar_points and cfg.feature_readout) else "off"
     if mxu_ro != "off":
         # all-layer batched MXU readout: every Pallas call spans the full
-        # (layer x sample) axis; identical draws + math to the scan path
+        # (layer x sample) axis; identical draws + math to the scan path.
+        # Semantic heads expose the GT slot-id structure (slot g == class
+        # g of gt_occ) so GT reads use the 8-corner label gather.
+        if gt_override is None:
+            id_grid = gt_occ
+            slot_ids = jnp.broadcast_to(
+                jnp.arange(cfg.num_classes, dtype=gt_occ.dtype)[None],
+                (gt_occ.shape[0], cfg.num_classes))
+        else:
+            id_grid = slot_ids = None
         return _mxu_batched_loss(
             rng, cls_preds, mask_embeds, mask_feature, gt_masks, gt_labels,
             gt_valid, lidar_xyz, lidar_valid, cfg,
-            interpret=(mxu_ro == "interpret"))
+            interpret=(mxu_ro == "interpret"),
+            gt_id_grid=id_grid, gt_slot_ids=slot_ids)
 
     def match_one(l_rng, cls_l, mask_l, emb_l):
         keys = jax.random.split(l_rng, B)

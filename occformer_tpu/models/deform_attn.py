@@ -191,12 +191,13 @@ class MultiScaleDeformableAttention3D(nn.Module):
                     w = weights_c[:, :, :, l]           # [B, nq, H, P]
                     weights_l.append(
                         w.transpose(0, 2, 1, 3).reshape(B * H, nq * P))
-                xy_max = max(X * Y for (X, Y, Z) in spatial_shapes)
                 if self.gather_window >= 0:
-                    win = self.gather_window
-                else:  # largest level's measured policy (attribute doc)
-                    win = xy_max // 4 if xy_max >= 4096 else (
-                        640 if xy_max >= 1024 else 0)
+                    win = [self.gather_window] * L
+                else:  # measured per-level policy (attribute doc); the
+                    # segmented kernel applies each level's own window
+                    win = [xy // 4 if (xy := X * Y) >= 4096 else (
+                        640 if xy >= 1024 else 0)
+                        for (X, Y, Z) in spatial_shapes]
                 sb = self.gather_s_block if self.gather_s_block > 0 else 512
                 # weighted fold: the attention-weighted P-sum happens
                 # IN-KERNEL; outputs are per-QUERY ([B*H, hd, nq]), so the

@@ -281,18 +281,25 @@ def _fold_t(S_blk: int, P: int, dtype=jnp.float32):
     return (gj // P == gi).astype(dtype)
 
 
-def _fwd_kernel_wfold(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec):
+def _wfold_fwd_body(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec,
+                    lvl_off=0, lvl_rows=None):
     """Weighted-fold forward: out[q] = sum_p aw[q,p] * trilerp(sample q,p).
 
     The P samples of one query are row-adjacent (the deform-attn locs
     layout), so the attention-weighted sum over points is one more tiny
     constant matmul — the kernel emits PER-QUERY rows ([S_blk/P, C]), which
     kills the [B, H, hd, nq, P] einsum + reshape glue in XLA AND divides
-    the output (a saved residual under the encoder remat policy) by P."""
+    the output (a saved residual under the encoder remat policy) by P.
+
+    Runs as a LEVEL-SEGMENT body (see _build_op_wfold): Z/W are this
+    level's static depth and window, lanes are sliced to [:Z*C] (smaller
+    levels never touch the pad lanes), and the escape pass walks only the
+    chunks covering this level's row range [lvl_off, lvl_off + lvl_rows).
+    """
     mt = jnp.transpose(meta_ref[0])  # [S_blk, 12] f32
     r0f, esc = _window_start(mt, XY, W)
     r0 = pl.multiple_of(r0f.astype(jnp.int32), 16)
-    win = table_ref[0, pl.ds(r0, W), :]
+    win = table_ref[0, pl.ds(r0, W), :Z * C]
     oh = _onehot_rows(mt, r0f, W, win.dtype)
     slab = jax.lax.dot_general(
         oh, win, (((1,), (0,)), ((), ())),
@@ -310,14 +317,18 @@ def _fwd_kernel_wfold(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec):
 
     @pl.when(esc)
     def _():
-        Wc = min(XY, 2048)
+        nrows = XY if lvl_rows is None else lvl_rows
+        off = lvl_off
+        Wc = min(-(-nrows // 16) * 16, 2048)
+        start0 = (off // Wc) * Wc
+        nchunks = -(-(off + nrows - start0) // Wc)
         rows = mt[:, 0:4]
         outw = ((rows < r0f) | (rows > r0f + float(W - 1))).astype(jnp.float32)
         w_out = mt[:, 5:9] * outw
 
         def chunk(j, slab_acc):
-            c0 = pl.multiple_of(j * Wc, 16)
-            tblc = table_ref[0, pl.ds(c0, Wc), :]
+            c0 = pl.multiple_of(start0 + j * Wc, 16)
+            tblc = table_ref[0, pl.ds(c0, Wc), :Z * C]
             col = jax.lax.broadcasted_iota(
                 jnp.int32, (1, Wc), 1).astype(jnp.float32) + c0.astype(
                     jnp.float32)
@@ -330,7 +341,7 @@ def _fwd_kernel_wfold(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec):
                 preferred_element_type=jnp.float32, precision=prec)
 
         slab_e = jax.lax.fori_loop(
-            0, XY // Wc, chunk, jnp.zeros((S_blk, Z * C), jnp.float32))
+            0, nchunks, chunk, jnp.zeros((S_blk, Z * C), jnp.float32))
         y_e = jax.lax.dot_general(
             slab_e * _zmask(mt, Z, C), _gsum(Z, C), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
@@ -340,14 +351,17 @@ def _fwd_kernel_wfold(meta_ref, table_ref, out_ref, *, Z, C, XY, W, P, prec):
         out_ref[0] += jnp.transpose(out_e).astype(out_ref.dtype)
 
 
-def _bwd_kernel_wfold(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
-                      *, Z, C, XY, W, P, prec):
+def _wfold_bwd_body(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
+                    *, Z, C, XY, W, P, prec, lvl_off=0, lvl_rows=None):
     """Weighted-fold backward.  d_y[i] = aw[i] * d_out[i // P]; then the
     standard trilerp VJP runs with g := d_y, plus d_aw[i] = y[i] . d_out[i//P]
     (y rebuilt from the slab matmuls the VJP already does — the FORWARD
     output is never needed, which is what lets the remat policy save it and
-    skip the fwd kernel entirely in the backward recompute)."""
-    s = pl.program_id(1)
+    skip the fwd kernel entirely in the backward recompute).
+
+    NOTE: no pl.program_id here — this body runs INSIDE the dispatch's
+    pl.when branch, and program_id inside a cond branch is unlowerable in
+    interpret mode (the dtab zero-init lives in the dispatch instead)."""
     mt = jnp.transpose(meta_ref[0])                      # [S_blk, 12]
     S_blk = mt.shape[0]
     gq = jnp.transpose(gout_ref[0]).astype(jnp.float32)  # [S_blk/P, C]
@@ -362,18 +376,14 @@ def _bwd_kernel_wfold(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
 
     r0f, esc = _window_start(mt, XY, W)
     r0 = pl.multiple_of(r0f.astype(jnp.int32), 16)
-    win = table_ref[0, pl.ds(r0, W), :].astype(jnp.float32)
+    win = table_ref[0, pl.ds(r0, W), :Z * C].astype(jnp.float32)
     oh = _onehot_rows(mt, r0f, W, jnp.float32)
 
     dt = jax.lax.dot_general(
         oh, d_slab, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
 
-    @pl.when(s == 0)
-    def _():
-        dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
-
-    dtab_ref[0, pl.ds(r0, W), :] += dt
+    dtab_ref[0, pl.ds(r0, W), :Z * C] += dt
 
     m2 = jax.lax.dot_general(
         d_slab, win, (((1,), (1,)), ((), ())),
@@ -405,15 +415,19 @@ def _bwd_kernel_wfold(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
 
     @pl.when(esc)
     def _():
-        Wc = min(XY, 2048)
+        nrows = XY if lvl_rows is None else lvl_rows
+        off = lvl_off
+        Wc = min(-(-nrows // 16) * 16, 2048)
+        start0 = (off // Wc) * Wc
+        nchunks = -(-(off + nrows - start0) // Wc)
         rows = mt[:, 0:4]
         outw = ((rows < r0f) | (rows > r0f + float(W - 1))).astype(jnp.float32)
         w_out = mt[:, 5:9] * outw
 
         def chunk(j, carry):
             m2acc, slab_acc = carry
-            c0 = pl.multiple_of(j * Wc, 16)
-            tblc = table_ref[0, pl.ds(c0, Wc), :].astype(jnp.float32)
+            c0 = pl.multiple_of(start0 + j * Wc, 16)
+            tblc = table_ref[0, pl.ds(c0, Wc), :Z * C].astype(jnp.float32)
             col_c = jax.lax.broadcasted_iota(
                 jnp.int32, (1, Wc), 1).astype(jnp.float32) + c0.astype(
                     jnp.float32)
@@ -421,7 +435,7 @@ def _bwd_kernel_wfold(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
             for k in range(4):
                 oh_c = oh_c + jnp.where(col_c == rows[:, k:k + 1],
                                         w_out[:, k:k + 1], 0.0)
-            dtab_ref[0, pl.ds(c0, Wc), :] += jax.lax.dot_general(
+            dtab_ref[0, pl.ds(c0, Wc), :Z * C] += jax.lax.dot_general(
                 oh_c, d_slab, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             m2c = jax.lax.dot_general(
@@ -436,7 +450,7 @@ def _bwd_kernel_wfold(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref,
             return m2acc + m2p, slab_acc + slab_c
 
         m2e, slab_e = jax.lax.fori_loop(
-            0, XY // Wc, chunk,
+            0, nchunks, chunk,
             (jnp.zeros((S_blk, 4), jnp.float32),
              jnp.zeros((S_blk, Z * C), jnp.float32)))
         dwf = m2e * outw
@@ -605,20 +619,46 @@ def fused_multilevel_gather(
 
 @functools.lru_cache(maxsize=None)
 def _build_op_wfold(XY: int, Zmax: int, C: int, s_block: int, P: int,
-                    interpret: bool, highp: bool, window: int):
+                    interpret: bool, highp: bool, segs: tuple):
     """Weighted-fold op over the padded concatenated slab (P samples per
-    query, attention-weighted sum folded in-kernel; out [G, C, S/P])."""
+    query, attention-weighted sum folded in-kernel; out [G, C, S/P]).
+
+    ``segs``: per-level grid segments ``(b0, b1, Z, W, off, rows)`` — block
+    range [b0, b1), level depth Z, window W, row offset + count.  The
+    kernel body dispatches on the block index, so EVERY level runs with
+    ITS OWN static window width and lane count inside one pallas_call (a
+    single shared W made the small levels pay the big level's onehot and
+    matmul width — the round-5 S3 regression, 164 -> 203 ms)."""
     ZC = Zmax * C
-    win = window if (window and window < XY) else XY
-    assert win % 16 == 0 and XY % min(XY, 2048) == 0, (win, XY)
     assert s_block % P == 0, (s_block, P)
+    for (b0, b1, Z, W, off, rows) in segs:
+        assert W % 16 == 0 and W <= XY, (W, XY)
     prec = jax.lax.Precision.HIGHEST if highp else jax.lax.Precision.DEFAULT
     params = None if interpret else pltpu.CompilerParams(
         vmem_limit_bytes=100 * 2 ** 20)
-    fwd_kernel = functools.partial(_fwd_kernel_wfold, Z=Zmax, C=C, XY=XY,
-                                   W=win, P=P, prec=prec)
-    bwd_kernel = functools.partial(_bwd_kernel_wfold, Z=Zmax, C=C, XY=XY,
-                                   W=win, P=P, prec=prec)
+
+    def fwd_kernel(meta_ref, table_ref, out_ref):
+        s = pl.program_id(1)
+        for (b0, b1, Z, W, off, rows) in segs:
+            @pl.when((s >= b0) & (s < b1))
+            def _(Z=Z, W=W, off=off, rows=rows):
+                _wfold_fwd_body(meta_ref, table_ref, out_ref, Z=Z, C=C,
+                                XY=XY, W=W, P=P, prec=prec, lvl_off=off,
+                                lvl_rows=rows)
+
+    def bwd_kernel(meta_ref, table_ref, gout_ref, dtab_ref, dmeta_ref):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
+
+        for (b0, b1, Z, W, off, rows) in segs:
+            @pl.when((s >= b0) & (s < b1))
+            def _(Z=Z, W=W, off=off, rows=rows):
+                _wfold_bwd_body(meta_ref, table_ref, gout_ref, dtab_ref,
+                                dmeta_ref, Z=Z, C=C, XY=XY, W=W, P=P,
+                                prec=prec, lvl_off=off, lvl_rows=rows)
 
     def call_fwd(table, meta):
         G, _, Sp = meta.shape
@@ -698,6 +738,9 @@ def fused_multilevel_weighted_gather(
                                    trilerp(tables_l, coords[g, q*P+p]).
     Returns per-level [G, C, Sq] (queries, not samples).  Differentiable
     w.r.t. tables, coords AND weights (softmax attention is learned).
+    ``window`` may be an int (same width everywhere) or a per-level
+    sequence; 0 / invalid widths fall back to that level's full row count
+    (the segmented kernel gives every level its own static width).
     """
     L = len(tables)
     assert L == len(spatials) == len(coords) == len(weights) and L >= 1
@@ -735,11 +778,20 @@ def fused_multilevel_weighted_gather(
         q_pads.append(Sp // P)
     meta = jnp.concatenate(metas, axis=2)
 
-    win = window
-    if win and (win % 16 != 0 or win >= XYp):
-        win = 0
+    # per-level grid segments: each level's blocks run with its own static
+    # window and lane count (see _build_op_wfold)
+    wins = list(window) if isinstance(window, (list, tuple)) \
+        else [window] * L
+    segs, b = [], 0
+    for l, ((X, Y, Z), o) in enumerate(zip(spatials, row_off)):
+        nblk = (q_pads[l] * P) // s_block
+        w_l = wins[l]
+        if not w_l or w_l % 16 != 0 or w_l > X * Y:
+            w_l = -(-(X * Y) // 16) * 16  # full level width
+        segs.append((b, b + nblk, Z, w_l, o, X * Y))
+        b += nblk
     op = _build_op_wfold(XYp, Zmax, C, s_block, P, interpret,
-                         dtype == jnp.float32, win)
+                         dtype == jnp.float32, tuple(segs))
     out = op(table, meta)  # [G, C, sum Sp/P]
 
     outs = []
