@@ -504,9 +504,20 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
 
     gt_cand = jax.lax.stop_gradient(read_gt_shared(cand_s))  # [L, B, G, S]
 
-    idx = uncertainty_topk(jax.lax.stop_gradient(cand_logits), n_unc)
-    sup_pred = jnp.take_along_axis(cand_logits_sup, idx, axis=-1)
-    sup_tgt = jnp.take_along_axis(gt_cand, idx, axis=-1)
+    # selection as a 0/1 WEIGHT over the candidate axis instead of
+    # take_along gathers (85 ms fwd + backward scatters at flagship,
+    # .probe_loss_xla_ops.json): the selected rows only ever feed
+    # REDUCTIONS (bce / dice sums), so a mask is equivalent — the set is
+    # exactly top_k's (score > kth, plus earliest-index ties up to k,
+    # matching top_k's stable tie-break)
+    score = -jnp.abs(jax.lax.stop_gradient(cand_logits))
+    topv, _ = jax.lax.top_k(score, n_unc)
+    kth = topv[..., -1:]
+    sel_gt = score > kth
+    c1 = jnp.sum(sel_gt, axis=-1, keepdims=True)
+    ties = score == kth
+    tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=-1)
+    sel = (sel_gt | (ties & (tie_rank <= (n_unc - c1)))).astype(f32)
     if n_rand > 0:
         if use_ids:
             # per-slot points: gather corner labels once per slot's point
@@ -524,10 +535,7 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
                     g[..., None], r, align_corners=cfg.align_corners,
                     padding_mode=cfg.padding_mode)[..., 0])(rs, gt_fb))(
                 rand_s))
-        sup_pred = jnp.concatenate(
-            [sup_pred, jnp.concatenate(rand_chunks, axis=2)], axis=-1)
-        sup_tgt = jnp.concatenate([sup_tgt, tgt_rand], axis=-1)
-    sup_tgt = jax.lax.stop_gradient(sup_tgt)
+        pred_rand = jnp.concatenate(rand_chunks, axis=2)  # [L, B, G, n_rand]
 
     # ---- per-layer reductions (pure XLA, no scan needed) -----------------
     class_weight = jnp.asarray(cfg.class_weight, f32)
@@ -546,12 +554,19 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
         cls_lb, in_axes=(0, 0, 0, 0)), in_axes=(0, 0, None, None))(
         cls_preds, assigns, gt_labels, gt_valid)       # [L, B], gt_w [L,B,G]
 
-    bce = _bce_elem(sup_pred, sup_tgt)
-    mask_num = jnp.sum(bce * (gt_w[..., None] > 0), axis=(1, 2, 3))
+    # bce / dice over candidates use the sel mask (no gathers); the
+    # random-fill points are all supervised, so they sum unmasked
+    bce_c = jnp.sum(_bce_elem(cand_logits_sup, gt_cand) * sel, axis=-1)
+    pred_sig_c = jax.nn.sigmoid(cand_logits_sup.astype(f32))
+    da = jnp.sum(pred_sig_c * gt_cand * sel, axis=-1)
+    db = jnp.sum((pred_sig_c + gt_cand) * sel, axis=-1)
+    if n_rand > 0:
+        bce_c = bce_c + jnp.sum(_bce_elem(pred_rand, tgt_rand), axis=-1)
+        pred_sig_r = jax.nn.sigmoid(pred_rand.astype(f32))
+        da = da + jnp.sum(pred_sig_r * tgt_rand, axis=-1)
+        db = db + jnp.sum(pred_sig_r, axis=-1) + jnp.sum(tgt_rand, axis=-1)
+    mask_num = jnp.sum(bce_c * (gt_w > 0), axis=(1, 2))
     mask_avg = jnp.sum(gt_w, axis=(1, 2)) * cfg.num_points
-    pred_sig = jax.nn.sigmoid(sup_pred.astype(f32))
-    da = jnp.sum(pred_sig * sup_tgt, axis=-1)
-    db = jnp.sum(pred_sig, axis=-1) + jnp.sum(sup_tgt, axis=-1)
     dice_rows = 1.0 - (2 * da + cfg.dice_eps) / (db + cfg.dice_eps)
     dice_num = jnp.sum(dice_rows * gt_w, axis=(1, 2))
     dice_avg = jnp.sum(gt_w, axis=(1, 2))
