@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.loss_gather import (
+    gather_corner_labels,
     sample_per_slot,
     sample_volumes_packed_batched,
     sort_points_by_row,
@@ -274,20 +275,18 @@ def _resolve_mxu_readout(cfg: MaskLossConfig) -> str:
     return cfg.mxu_readout
 
 
-def _sample_id_masks(id_grid, slot_ids, pts01, align_corners: bool,
-                     padding_mode: str):
-    """Trilinear reads of per-slot one-hot GT masks via an 8-corner LABEL
-    gather (round 5): ``trilerp(id_grid == slot, p)`` is linear in the
-    one-hot volume, so it equals ``sum_corners w_k * (label_k == slot)`` —
-    8 int gathers per point instead of 8 x G channel-value gathers, and no
-    [Xg, Yg, Zg, G] f32 one-hot volume is ever materialized (143 MB at the
-    nuScenes GT grid).
+def _corner_weights(pts01, spatial, align_corners: bool, padding_mode: str):
+    """[..., S, 3] points in [0, 1] -> [..., S, 8] trilinear corner weights
+    in ``gather_corner_labels``'s corner order ((dx, dy) lex x (z0, z1)).
 
-    id_grid: [Xg, Yg, Zg] int; slot_ids: [G] int; pts01: [..., 3] in [0,1].
-    Returns [..., G] f32.  border padding = coordinate clip (torch parity,
-    same as ops.sampling); zeros padding masks out-of-range corners.
+    With these, a per-slot one-hot GT mask read is
+    ``sum_k w_k * (corner_label_k == slot_id)`` — exact (trilerp is linear
+    in the one-hot volume), with 8 label gathers per point instead of
+    8 x G channel-value gathers and no [Xg, Yg, Zg, G] f32 volume
+    (143 MB at the nuScenes GT grid).  border = coordinate clip (torch
+    parity); zeros masks out-of-range corners.
     """
-    Xg, Yg, Zg = id_grid.shape
+    Xg, Yg, Zg = spatial
     f32 = jnp.float32
 
     def unnorm(v, n):
@@ -305,22 +304,52 @@ def _sample_id_masks(id_grid, slot_ids, pts01, align_corners: bool,
         assert padding_mode == "zeros", padding_mode
     x0, y0, z0 = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
     wx, wy, wz = cx - x0, cy - y0, cz - z0
-    flat = id_grid.reshape(-1)
-    acc = jnp.zeros(pts01.shape[:-1] + (slot_ids.shape[0],), f32)
-    ids = slot_ids.reshape((1,) * (pts01.ndim - 1) + (-1,))
+    ws = []
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
                 fx, fy, fz = x0 + dx, y0 + dy, z0 + dz
                 ok = ((fx >= 0) & (fx <= Xg - 1) & (fy >= 0)
                       & (fy <= Yg - 1) & (fz >= 0) & (fz <= Zg - 1))
-                xi = jnp.clip(fx, 0, Xg - 1).astype(jnp.int32)
-                yi = jnp.clip(fy, 0, Yg - 1).astype(jnp.int32)
-                zi = jnp.clip(fz, 0, Zg - 1).astype(jnp.int32)
+                ws.append(((wx if dx else 1 - wx) * (wy if dy else 1 - wy)
+                           * (wz if dz else 1 - wz)) * ok.astype(f32))
+    return jnp.stack(ws, axis=-1)
+
+
+def _sample_id_masks(id_grid, slot_ids, pts01, align_corners: bool,
+                     padding_mode: str):
+    """XLA reference path for the label-gather GT read (see
+    _corner_weights); the batched loss uses the MXU kernel variant
+    (ops.loss_gather.gather_corner_labels) instead."""
+    Xg, Yg, Zg = id_grid.shape
+    f32 = jnp.float32
+    w8 = _corner_weights(pts01, (Xg, Yg, Zg), align_corners, padding_mode)
+
+    def unnorm(v, n):
+        v = v.astype(f32)
+        return v * (n - 1) if align_corners else v * n - 0.5
+
+    cx = unnorm(pts01[..., 0], Xg)
+    cy = unnorm(pts01[..., 1], Yg)
+    cz = unnorm(pts01[..., 2], Zg)
+    if padding_mode == "border":
+        cx = jnp.clip(cx, 0.0, Xg - 1)
+        cy = jnp.clip(cy, 0.0, Yg - 1)
+        cz = jnp.clip(cz, 0.0, Zg - 1)
+    x0, y0, z0 = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
+    flat = id_grid.reshape(-1)
+    acc = jnp.zeros(pts01.shape[:-1] + (slot_ids.shape[0],), f32)
+    ids = slot_ids.reshape((1,) * (pts01.ndim - 1) + (-1,))
+    j = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                xi = jnp.clip(x0 + dx, 0, Xg - 1).astype(jnp.int32)
+                yi = jnp.clip(y0 + dy, 0, Yg - 1).astype(jnp.int32)
+                zi = jnp.clip(z0 + dz, 0, Zg - 1).astype(jnp.int32)
                 lab = flat[(xi * Yg + yi) * Zg + zi]
-                w = ((wx if dx else 1 - wx) * (wy if dy else 1 - wy)
-                     * (wz if dz else 1 - wz)) * ok.astype(f32)
-                acc = acc + w[..., None] * (lab[..., None] == ids)
+                acc = acc + w8[..., j, None] * (lab[..., None] == ids)
+                j += 1
     return acc
 
 
@@ -397,17 +426,38 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
         L, B, Q, Pm)
 
     # GT reads: 8-corner LABEL gather when the slot-id structure is known
-    # (semantic heads — 17x less gather traffic than the one-hot channel
-    # volumes, see _sample_id_masks); one-hot volume path otherwise
+    # (semantic heads): corner labels ride the windowed MXU kernel
+    # (ops.loss_gather.gather_corner_labels — the XLA label gather still
+    # measured 87 ms at flagship, .probe_loss_xla_ops.json), weights +
+    # per-slot compares are vectorized XLA.  One-hot volume path otherwise.
     use_ids = gt_id_grid is not None
+    if use_ids:
+        Xg, Yg, Zg = gt_id_grid.shape[1:]
+        id_slab = gt_id_grid.reshape(B, Xg * Yg, Zg).astype(f32)
+        ids_f = gt_slot_ids.astype(f32)                # [B, G]
+
+        def labels_to_masks(points, lab8):
+            """points [..., S, 3], lab8 [..., S, 8], ids broadcastable
+            [..., G] -> [..., S, G] soft masks."""
+            w8 = _corner_weights(points, (Xg, Yg, Zg), cfg.align_corners,
+                                 cfg.padding_mode)
+            acc = 0.0
+            for j in range(8):
+                acc = acc + w8[..., j, None] * (
+                    lab8[..., j, None] == ids_f[None, :, None, :])
+            return acc
 
     def read_gt_shared(points_lb):
         """[L, B, S, 3] shared points -> [L, B, G, S] soft GT masks."""
         if use_ids:
-            o = jax.vmap(lambda ps: jax.vmap(
-                lambda p, ig, si: _sample_id_masks(
-                    ig, si, p, cfg.align_corners, cfg.padding_mode)
-            )(ps, gt_id_grid, gt_slot_ids))(points_lb)
+            S_ = points_lb.shape[2]
+            slab_rep = jnp.broadcast_to(
+                id_slab[None], (L,) + id_slab.shape).reshape(
+                L * B, Xg * Yg, Zg)
+            lab8 = gather_corner_labels(
+                slab_rep, (Xg, Yg, Zg), points_lb.reshape(L * B, S_, 3),
+                cfg.align_corners, interpret=interpret)
+            o = labels_to_masks(points_lb, lab8.reshape(L, B, S_, 8))
         else:
             gt_ch = jnp.moveaxis(gt_masks.astype(f32), 1, -1)
             o = jax.vmap(lambda ps: jax.vmap(
@@ -520,14 +570,24 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
     sel = (sel_gt | (ties & (tie_rank <= (n_unc - c1)))).astype(f32)
     if n_rand > 0:
         if use_ids:
-            # per-slot points: gather corner labels once per slot's point
-            # set, compare against that slot's id only
-            tgt_rand = jax.lax.stop_gradient(
-                jax.vmap(lambda rs: jax.vmap(lambda r, ig, si: jax.vmap(
-                    lambda rg, sid: _sample_id_masks(
-                        ig, sid[None], rg, cfg.align_corners,
-                        cfg.padding_mode)[..., 0])(r, si))(
-                    rs, gt_id_grid, gt_slot_ids))(rand_s))
+            # per-slot points ride the SAME per-(l, b) slab: flatten the
+            # slot axis into the point axis (one kernel grid cell per
+            # (l, b), not per (l, b, g)), compare each slot's run against
+            # its own id only
+            rp = rand_s.reshape(L * B, G * n_rand, 3)
+            slab_rep = jnp.broadcast_to(
+                id_slab[None], (L,) + id_slab.shape).reshape(
+                L * B, Xg * Yg, Zg)
+            lab8r = gather_corner_labels(
+                slab_rep, (Xg, Yg, Zg), rp, cfg.align_corners,
+                interpret=interpret).reshape(L, B, G, n_rand, 8)
+            w8r = _corner_weights(rand_s, (Xg, Yg, Zg), cfg.align_corners,
+                                  cfg.padding_mode)  # [L, B, G, n_rand, 8]
+            acc = 0.0
+            for j in range(8):
+                acc = acc + w8r[..., j] * (
+                    lab8r[..., j] == ids_f[None, :, :, None])
+            tgt_rand = jax.lax.stop_gradient(acc)      # [L, B, G, n_rand]
         else:
             gt_fb = gt_masks.astype(f32)               # [B, G, Xg, Yg, Zg]
             tgt_rand = jax.lax.stop_gradient(jax.vmap(lambda rs: jax.vmap(

@@ -31,16 +31,109 @@ bilinear/trilinear, align_corners per call site
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .sampling import _unnormalize
 from .trilerp import trilerp_gather_slab
 
 _S_BLOCK = 256  # tall-table kernel block: keeps the escape-pass VMEM
 # (onehot + m2 at [S_blk, XY] f32) within the 100M compiler cap at XY=16384
+
+
+def _label_kernel(meta_ref, slab_ref, out_ref, *, Z, XY, W):
+    """8-corner label gather: 4 weight-1 onehot matmuls against the
+    windowed label slab + z-lane selects.  Escape chunks ADD the labels of
+    out-of-window corners (in-window contribution is 0 there), so every
+    live corner's label lands exactly once."""
+    import jax.lax as lax
+
+    from .trilerp_fused import _window_start
+
+    mt = jnp.transpose(meta_ref[0])  # [S_blk, 11]
+    S_blk = mt.shape[0]
+    r0f, esc = _window_start(mt, XY, W)
+    r0 = pl.multiple_of(r0f.astype(jnp.int32), 16)
+    win = slab_ref[0, pl.ds(r0, W), :]  # [W, Z]
+    iota = lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    col = iota + r0f
+    z0 = mt[:, 4:5]
+    zlane = lax.broadcasted_iota(jnp.int32, (1, Z), 1).astype(jnp.float32)
+    outs = []
+    for k in range(4):
+        oh_k = (col == mt[:, k:k + 1]).astype(jnp.float32)
+        labxy = lax.dot_general(
+            oh_k, win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [S_blk, Z]
+        outs.append(jnp.sum(jnp.where(zlane == z0, labxy, 0.0), axis=1,
+                            keepdims=True))
+        outs.append(jnp.sum(jnp.where(zlane == z0 + 1.0, labxy, 0.0),
+                            axis=1, keepdims=True))
+    out_ref[0] = jnp.transpose(jnp.concatenate(outs, axis=1))
+
+    @pl.when(esc)
+    def _():
+        Wc = min(XY, 2048)
+        rows = mt[:, 0:4]
+        outw = (rows < r0f) | (rows > r0f + float(W - 1))
+
+        def chunk(j, acc):
+            c0 = pl.multiple_of(j * Wc, 16)
+            slc = slab_ref[0, pl.ds(c0, Wc), :]
+            col_c = lax.broadcasted_iota(
+                jnp.int32, (1, Wc), 1).astype(jnp.float32) + c0.astype(
+                    jnp.float32)
+            parts = []
+            for k in range(4):
+                oh_ck = ((col_c == rows[:, k:k + 1])
+                         & outw[:, k:k + 1]).astype(jnp.float32)
+                labxy = lax.dot_general(
+                    oh_ck, slc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                parts.append(jnp.sum(jnp.where(zlane == z0, labxy, 0.0),
+                                     axis=1, keepdims=True))
+                parts.append(jnp.sum(
+                    jnp.where(zlane == z0 + 1.0, labxy, 0.0), axis=1,
+                    keepdims=True))
+            return acc + jnp.concatenate(parts, axis=1)
+
+        esc_lab = jax.lax.fori_loop(
+            0, XY // Wc, chunk, jnp.zeros((S_blk, 8), jnp.float32))
+        out_ref[0] += jnp.transpose(esc_lab)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_label_op(XY: int, Z: int, s_block: int, interpret: bool,
+                    window: int):
+    win = window if (window and window < XY) else XY
+    if win % 16 != 0 or XY % min(XY, 2048) != 0:
+        win = XY
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 2 ** 20)
+
+    def call(slab, meta):
+        N, _, Sp = meta.shape
+        return pl.pallas_call(
+            functools.partial(_label_kernel, Z=Z, XY=XY, W=win),
+            grid=(N, Sp // s_block),
+            in_specs=[
+                pl.BlockSpec((1, 11, s_block), lambda g, s: (g, 0, s)),
+                pl.BlockSpec((1, XY, Z), lambda g, s: (g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, s_block), lambda g, s: (g, 0, s)),
+            out_shape=jax.ShapeDtypeStruct((N, 8, Sp), jnp.float32),
+            compiler_params=params,
+            interpret=interpret,
+        )(meta, slab)
+
+    return call
 
 
 def row_key(pts01: jnp.ndarray, spatial: Tuple[int, int, int],
@@ -154,6 +247,52 @@ def sample_volumes_packed_batched(vols: jnp.ndarray, pts01: jnp.ndarray,
             interpret=interpret, window=win, padding_mode=padding_mode,
         ))  # [N, k, S]
     return jnp.transpose(jnp.concatenate(outs, axis=1), (0, 2, 1))
+
+
+def gather_corner_labels(label_slab: jnp.ndarray, spatial, pts01: jnp.ndarray,
+                         align_corners: bool = False, *,
+                         interpret: bool = False) -> jnp.ndarray:
+    """8 trilinear CORNER LABELS per point via the windowed MXU kernel.
+
+    label_slab: [N, X*Y, Z] f32 LABEL values (integers exact in f32);
+    pts01: [N, S, 3] row-SORTED points in [0, 1].  Returns [N, S, 8] f32
+    corner labels in (dx, dy, dz) lexicographic order with BORDER clamping
+    — the caller turns them into per-slot one-hot mask reads with
+    ``sum_k w_k * (label_k == slot_id)`` (see mask2former_loss.
+    _sample_id_masks for the weights; this kernel only moves the gather
+    family onto the MXU).  Forward-only: GT reads are always detached.
+
+    Junk-label caveat: corners whose interpolation weight is zero may fall
+    outside the per-block window and read an aliased row — inert because
+    the caller multiplies by that same zero weight.
+    """
+    from .trilerp_fused import make_meta_rows
+
+    X, Y, Z = spatial
+    N, XY, Zs = label_slab.shape
+    assert XY == X * Y and Zs == Z, (label_slab.shape, spatial)
+    S = pts01.shape[1]
+    # border clamp in COORDINATE space, then zero-offset absolute rows
+    c = pts01.astype(jnp.float32)
+    if align_corners:
+        lo = jnp.zeros((3,), jnp.float32)
+        hi = jnp.asarray([X - 1.0, Y - 1.0, Z - 1.0], jnp.float32)
+        cc = jnp.clip(c * (jnp.asarray([X, Y, Z], jnp.float32) - 1), lo, hi)
+        cn = cc / (jnp.asarray([X, Y, Z], jnp.float32) - 1) * 2.0 - 1.0
+    else:
+        # unnormalized u = v * n - 0.5 clipped to [0, n-1]; invert to [-1,1]
+        n3 = jnp.asarray([X, Y, Z], jnp.float32)
+        u = jnp.clip(c * n3 - 0.5, 0.0, n3 - 1.0)
+        cn = (2.0 * u + 1.0) / n3 - 1.0
+    meta = make_meta_rows(cn, (X, Y, Z), 0, align_corners)  # [N, 11, S]
+    Sp = -(-S // _S_BLOCK) * _S_BLOCK
+    if Sp != S:
+        meta = jnp.pad(meta, ((0, 0), (0, 0), (0, Sp - S)))
+    win = _auto_window(XY, Y, S, _S_BLOCK)
+    op = _build_label_op(XY, Z, _S_BLOCK, interpret,
+                         win if win else XY)
+    out = op(label_slab.astype(jnp.float32), meta)  # [N, 8, Sp]
+    return jax.lax.stop_gradient(jnp.transpose(out[:, :, :S], (0, 2, 1)))
 
 
 def sample_per_slot(vols: jnp.ndarray, pts01: jnp.ndarray,

@@ -60,7 +60,7 @@ def main():
         "occformer_tpu/configs/occformer_nusc_r50_256x704.py")
 
     for pw in (1, 4):
-        model = base_model.replace(  # flax module dataclass replace
+        model = base_model.clone(  # flax module copy-with-overrides
             img_bev_encoder_backbone={
                 **dict(base_model.img_bev_encoder_backbone),
                 "pack_windows": pw})
