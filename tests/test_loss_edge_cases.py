@@ -603,3 +603,31 @@ def test_mxu_readout_panoptic_slots(rng):
         assert np.isfinite(float(lm[k])), k
         np.testing.assert_allclose(float(lm[k]), float(lf[k]), rtol=1e-4,
                                    atol=1e-6, err_msg=k)
+
+
+@pytest.mark.quick
+def test_gather_corner_labels_matches_xla_reference(rng):
+    """The MXU corner-label kernel (interpret mode) must reproduce the XLA
+    label-gather GT read exactly: same corner labels -> same per-slot soft
+    masks for sorted, clamped, and out-of-range points."""
+    from occformer_tpu.losses.mask2former_loss import (
+        _corner_weights, _sample_id_masks)
+    from occformer_tpu.ops.loss_gather import (
+        gather_corner_labels, sort_points_by_row)
+
+    Xg, Yg, Zg, G = 16, 8, 4, 5
+    grid = jnp.asarray(rng.randint(0, G + 2, (Xg, Yg, Zg)).astype(np.int32))
+    ids = jnp.arange(G)
+    pts = jnp.asarray((rng.rand(200, 3) * 1.3 - 0.15).astype(np.float32))
+    pts = sort_points_by_row(pts, (Xg, Yg, Zg))
+
+    want = _sample_id_masks(grid, ids, pts, False, "border")
+
+    slab = grid.reshape(1, Xg * Yg, Zg).astype(jnp.float32)
+    lab8 = gather_corner_labels(slab, (Xg, Yg, Zg), pts[None], False,
+                                interpret=True)[0]  # [S, 8]
+    w8 = _corner_weights(pts, (Xg, Yg, Zg), False, "border")
+    got = sum(w8[..., j, None] * (lab8[..., j, None] == ids[None].astype(
+        jnp.float32)) for j in range(8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
