@@ -61,6 +61,7 @@ def main():
 
     for pw in (1, 4):
         model = base_model.clone(  # flax module copy-with-overrides
+            train=False,  # eval mode: frozen BN (no mutable batch_stats)
             img_bev_encoder_backbone={
                 **dict(base_model.img_bev_encoder_backbone),
                 "pack_windows": pw})
