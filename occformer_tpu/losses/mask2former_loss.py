@@ -408,16 +408,19 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
     pts_s = sort_points_by_row(pts, spatial)
     Pm = pts_s.shape[2]
     pts_f = pts_s.reshape(NB, Pm, 3)
-    # bf16 match volumes (the cost tolerates bf16 — reference computes it
-    # under fp16 AMP); chunk queries by the packed sampler's cap so the
-    # [L, B, q, X*Y*Z] stack never fully materializes
-    qcap = max(1, (80 << 20) // (X * Y * Z * (2 + 8)))
+    # match volumes in the FEATURE dtype: bf16 on-chip (the cost tolerates
+    # bf16 — reference computes it under fp16 AMP), f32 when the model is
+    # f32 so the kernel path's assignments match the XLA path's exactly
+    # (tests/test_train_step.py::test_train_step_production_kernels_interpret);
+    # chunk queries by the packed sampler's cap so the [L, B, q, X*Y*Z]
+    # stack never fully materializes
+    mdt = feat_d.dtype
+    qcap = max(1, (80 << 20) // (X * Y * Z * (mdt.itemsize + 8)))
     preds = []
     for q0 in range(0, Q, qcap):
         q_vol = jnp.einsum(
             "lbqc,bxyzc->lbqxyz",
-            emb_d[:, :, q0:q0 + qcap].astype(jnp.bfloat16),
-            feat_d.astype(jnp.bfloat16))
+            emb_d[:, :, q0:q0 + qcap].astype(mdt), feat_d.astype(mdt))
         preds.append(sample_volumes_packed_batched(
             q_vol.reshape(NB, -1, X, Y, Z), pts_f, cfg.align_corners,
             cfg.padding_mode, interpret=interpret))   # [NB, Pm, q]
