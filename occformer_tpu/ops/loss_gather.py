@@ -115,8 +115,11 @@ def _build_label_op(XY: int, Z: int, s_block: int, interpret: bool,
     win = window if (window and window < XY) else XY
     if win % 16 != 0 or XY % min(XY, 2048) != 0:
         win = XY
+    # 100M like the trilerp ops: a 64M cap missed by 32K on the
+    # matching-phase shapes (S=50176 -> wider auto window + bigger
+    # double-buffered surfaces; BENCH verify 2026-08-20)
     params = None if interpret else pltpu.CompilerParams(
-        vmem_limit_bytes=64 * 2 ** 20)
+        vmem_limit_bytes=100 * 2 ** 20)
 
     def call(slab, meta):
         N, _, Sp = meta.shape
