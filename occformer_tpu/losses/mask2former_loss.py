@@ -266,11 +266,17 @@ def _resolve_mxu_readout(cfg: MaskLossConfig) -> str:
     """'auto' -> 'on' on TPU (round 5: the all-layer BATCHED readout beats
     the XLA feature path 2.34 vs 3.61 s/step on the flagship — round 4's
     per-layer version lost to scan composition and shipped off), 'off'
-    elsewhere (CPU tests opt in with 'interpret')."""
+    elsewhere (CPU tests opt in with 'interpret').
+
+    Panoptic stays 'off' under auto: its G~100 slot structure was the
+    round-2 exec-2 fault surface on this backend and the feature-readout
+    path is the soak-proven one (SOAK_r03.json); force 'on' explicitly
+    once a panoptic on-chip soak with the batched kernels exists."""
     if cfg.mxu_readout == "auto":
         import jax
 
-        return "on" if jax.default_backend() == "tpu" else "off"
+        return "on" if (jax.default_backend() == "tpu"
+                        and not cfg.panoptic) else "off"
     assert cfg.mxu_readout in ("on", "off", "interpret"), cfg.mxu_readout
     return cfg.mxu_readout
 
