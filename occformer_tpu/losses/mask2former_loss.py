@@ -992,7 +992,8 @@ def mask2former_loss(
         # (layer x sample) axis; identical draws + math to the scan path.
         # Semantic heads expose the GT slot-id structure (slot g == class
         # g of gt_occ) so GT reads use the 8-corner label gather.
-        if gt_override is None:
+        if gt_override is None and cfg.num_classes < 256:
+            # < 256: ids stay exact in the bf16 label slab the kernel uses
             id_grid = gt_occ
             slot_ids = jnp.broadcast_to(
                 jnp.arange(cfg.num_classes, dtype=gt_occ.dtype)[None],

@@ -59,7 +59,7 @@ def _label_kernel(meta_ref, slab_ref, out_ref, *, Z, XY, W):
     S_blk = mt.shape[0]
     r0f, esc = _window_start(mt, XY, W)
     r0 = pl.multiple_of(r0f.astype(jnp.int32), 16)
-    win = slab_ref[0, pl.ds(r0, W), :]  # [W, Z]
+    win = slab_ref[0, pl.ds(r0, W), :].astype(jnp.float32)  # [W, Z]
     iota = lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
     col = iota + r0f
     z0 = mt[:, 4:5]
@@ -85,7 +85,7 @@ def _label_kernel(meta_ref, slab_ref, out_ref, *, Z, XY, W):
 
         def chunk(j, acc):
             c0 = pl.multiple_of(j * Wc, 16)
-            slc = slab_ref[0, pl.ds(c0, Wc), :]
+            slc = slab_ref[0, pl.ds(c0, Wc), :].astype(jnp.float32)
             col_c = lax.broadcasted_iota(
                 jnp.int32, (1, Wc), 1).astype(jnp.float32) + c0.astype(
                     jnp.float32)
@@ -115,11 +115,14 @@ def _build_label_op(XY: int, Z: int, s_block: int, interpret: bool,
     win = window if (window and window < XY) else XY
     if win % 16 != 0 or XY % min(XY, 2048) != 0:
         win = XY
-    # 100M like the trilerp ops: a 64M cap missed by 32K on the
-    # matching-phase shapes (S=50176 -> wider auto window + bigger
-    # double-buffered surfaces; BENCH verify 2026-08-20)
+    # 64M cap, DELIBERATELY not raised: at 100M Mosaic picks an
+    # arrangement that runs the whole train step 6x slower (9.5 vs
+    # 1.6 s/step, 2026-08-20 A/B); instead the slab is bf16 (labels
+    # < 256 are exact) so the double-buffered table halves and the
+    # matching-phase shapes (S=50176, the 64.03M near-miss) fit with
+    # ~8M of headroom.
     params = None if interpret else pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 2 ** 20)
+        vmem_limit_bytes=64 * 2 ** 20)
 
     def call(slab, meta):
         N, _, Sp = meta.shape
@@ -294,7 +297,11 @@ def gather_corner_labels(label_slab: jnp.ndarray, spatial, pts01: jnp.ndarray,
     win = _auto_window(XY, Y, S, _S_BLOCK)
     op = _build_label_op(XY, Z, _S_BLOCK, interpret,
                          win if win else XY)
-    out = op(label_slab.astype(jnp.float32), meta)  # [N, 8, Sp]
+    # bf16 slab: integer labels < 256 are exact in bf16, and halving the
+    # double-buffered table block is what keeps the op inside the 64M
+    # scoped-vmem cap (see _build_label_op)
+    assert int(label_slab.shape[-1]) == Z
+    out = op(label_slab.astype(jnp.bfloat16), meta)  # [N, 8, Sp]
     return jax.lax.stop_gradient(jnp.transpose(out[:, :, :S], (0, 2, 1)))
 
 
