@@ -134,6 +134,15 @@ class MaskLossConfig:
     # runs the kernels in interpreter mode (CPU equivalence tests,
     # tests/test_loss_edge_cases.py::test_mxu_readout_*).
     mxu_readout: str = "auto"
+    # Route the GT corner-LABEL reads through the Pallas label kernel
+    # (ops.loss_gather.gather_corner_labels).  OFF by default: the kernel
+    # is a COMPILE LOTTERY on this backend — the same program measured
+    # 1.599 s/step on one compile and 9.5 s/step on the next three
+    # (2026-08-20 A/B; the op sits on a Mosaic scoped-vmem decision
+    # boundary, see _build_label_op).  The default XLA label gather is
+    # deterministic and still 4.4x faster than one-hot channel reads
+    # (87 vs 384 ms, .probe_loss_xla_ops.json).
+    gt_label_kernel: bool = False
 
 
 def preprocess_gt(gt_occ: jnp.ndarray, num_classes: int):
@@ -458,7 +467,7 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
 
     def read_gt_shared(points_lb):
         """[L, B, S, 3] shared points -> [L, B, G, S] soft GT masks."""
-        if use_ids:
+        if use_ids and cfg.gt_label_kernel:
             S_ = points_lb.shape[2]
             slab_rep = jnp.broadcast_to(
                 id_slab[None], (L,) + id_slab.shape).reshape(
@@ -467,6 +476,11 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
                 slab_rep, (Xg, Yg, Zg), points_lb.reshape(L * B, S_, 3),
                 cfg.align_corners, interpret=interpret)
             o = labels_to_masks(points_lb, lab8.reshape(L, B, S_, 8))
+        elif use_ids:
+            o = jax.vmap(lambda ps: jax.vmap(
+                lambda p, ig, si: _sample_id_masks(
+                    ig, si, p, cfg.align_corners, cfg.padding_mode)
+            )(ps, gt_id_grid, gt_slot_ids))(points_lb)
         else:
             gt_ch = jnp.moveaxis(gt_masks.astype(f32), 1, -1)
             o = jax.vmap(lambda ps: jax.vmap(
@@ -578,7 +592,7 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
     tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=-1)
     sel = (sel_gt | (ties & (tie_rank <= (n_unc - c1)))).astype(f32)
     if n_rand > 0:
-        if use_ids:
+        if use_ids and cfg.gt_label_kernel:
             # per-slot points ride the SAME per-(l, b) slab: flatten the
             # slot axis into the point axis (one kernel grid cell per
             # (l, b), not per (l, b, g)), compare each slot's run against
@@ -597,6 +611,14 @@ def _mxu_batched_loss(rng, cls_preds, mask_embeds, mask_feature, gt_masks,
                 acc = acc + w8r[..., j] * (
                     lab8r[..., j] == ids_f[None, :, :, None])
             tgt_rand = jax.lax.stop_gradient(acc)      # [L, B, G, n_rand]
+        elif use_ids:
+            # per-slot label gathers, single-id compare per slot
+            tgt_rand = jax.lax.stop_gradient(
+                jax.vmap(lambda rs: jax.vmap(lambda r, ig, si: jax.vmap(
+                    lambda rg, sid: _sample_id_masks(
+                        ig, sid[None], rg, cfg.align_corners,
+                        cfg.padding_mode)[..., 0])(r, si))(
+                    rs, gt_id_grid, gt_slot_ids))(rand_s))
         else:
             gt_fb = gt_masks.astype(f32)               # [B, G, Xg, Yg, Zg]
             tgt_rand = jax.lax.stop_gradient(jax.vmap(lambda rs: jax.vmap(
