@@ -54,45 +54,41 @@ def main():
                           for _ in range(3)))
         return round((ts[1] - ts[0]) / (K2 - K1) * 1e3, 3)
 
-    from tools.tpu_train_trial import build_trial
+    from occformer_tpu.config import load_config
+    from occformer_tpu.models.occnet import OccupancyEncoder
 
-    base_model, batch, _, _ = build_trial(
-        "occformer_tpu/configs/occformer_nusc_r50_256x704.py")
+    cfg = load_config("occformer_tpu/configs/occformer_nusc_r50_256x704.py")
+    bb = dict(cfg["model"]["img_bev_encoder_backbone"])
+    bb.pop("type", None)
+    rng_np = np.random.RandomState(0)
+    # the LSS volume at flagship shape (the occnet's real input)
+    vol = jnp.asarray(rng_np.randn(
+        1, 128, 128, 16, bb.get("in_channels", 128)).astype(np.float32),
+        jnp.bfloat16)
 
+    # occnet-only slope: the K-chained FULL-prefix program of the first
+    # version serialized past the compile service's request-body limit
+    # (HTTP 413); pack_windows lives entirely in the occnet, so this is
+    # the honest isolate anyway
     for pw in (1, 4):
-        model = base_model.clone(  # flax module copy-with-overrides
-            train=False,  # eval mode: frozen BN (no mutable batch_stats)
-            img_bev_encoder_backbone={
-                **dict(base_model.img_bev_encoder_backbone),
-                "pack_windows": pw})
+        model = OccupancyEncoder(**bb, pack_windows=pw, train=False,
+                                 dtype=jnp.bfloat16)
         key = jax.random.PRNGKey(0)
+        variables = jax.jit(lambda m=model: m.init(key, vol))()
+        vol_d = jax.device_put(vol)
 
-        def prefix(mod, b):
-            x = mod.image_encoder(b["imgs"].astype(mod.dtype))
-            volume, _ = mod.view_transformer(
-                x, b["rots"], b["trans"], b["intrins"],
-                b["post_rots"], b["post_trans"], b["bda"])
-            return mod.bev_backbone(volume.astype(mod.bev_backbone.dtype))
-
-        variables = jax.jit(
-            lambda: model.init({"params": key, "dropout": key}, batch))()
-        batch_d = jax.device_put(batch)
-
-        def run_k(k, b):
+        def run_k(k, v, m=model, va=variables):
             def body(acc, i):
-                bi = dict(b)
-                bi["imgs"] = b["imgs"] * (1.0 + 1e-6 * i)
-                out = model.apply(variables, bi, method=prefix)
-                leaves = jax.tree_util.tree_leaves(out)
+                out = m.apply(va, v * (1.0 + 1e-6 * i))
                 return acc + sum(jnp.sum(x.astype(jnp.float32))
-                                 for x in leaves), 0
+                                 for x in jax.tree_util.tree_leaves(out)), 0
             return jax.lax.scan(body, jnp.float32(0),
                                 jnp.arange(k, dtype=jnp.float32))[0]
 
         try:
-            rep[f"s2b_prefix_pack{pw}_ms"] = slope(run_k, batch_d)
+            rep[f"occnet_pack{pw}_ms"] = slope(run_k, vol_d)
         except Exception as e:  # noqa: BLE001
-            rep[f"s2b_prefix_pack{pw}_ms"] = f"FAIL {type(e).__name__}: {e}"
+            rep[f"occnet_pack{pw}_ms"] = f"FAIL {type(e).__name__}: {e}"
         _dump(rep)
 
     print(json.dumps(rep, indent=1))
