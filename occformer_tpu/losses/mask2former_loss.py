@@ -277,15 +277,16 @@ def _resolve_mxu_readout(cfg: MaskLossConfig) -> str:
     per-layer version lost to scan composition and shipped off), 'off'
     elsewhere (CPU tests opt in with 'interpret').
 
-    Panoptic stays 'off' under auto: its G~100 slot structure was the
-    round-2 exec-2 fault surface on this backend and the feature-readout
-    path is the soak-proven one (SOAK_r03.json); force 'on' explicitly
-    once a panoptic on-chip soak with the batched kernels exists."""
+    Panoptic measured 2026-08-20 on-chip: batched-mxu 4.21 s/step (4
+    stable steps) vs feature path 13.71 s/step (and one transient worker
+    crash) — the round-2 instability concern INVERTED under the round-5
+    batched structure, so panoptic rides 'on' under auto too.  (Panoptic
+    GT reads keep the one-hot path: its slot ids exceed the label-gather
+    gate.)"""
     if cfg.mxu_readout == "auto":
         import jax
 
-        return "on" if (jax.default_backend() == "tpu"
-                        and not cfg.panoptic) else "off"
+        return "on" if jax.default_backend() == "tpu" else "off"
     assert cfg.mxu_readout in ("on", "off", "interpret"), cfg.mxu_readout
     return cfg.mxu_readout
 
