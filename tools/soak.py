@@ -113,7 +113,7 @@ def main():
     progress = {"tag": args.tag, "config": os.path.basename(args.config),
                 "num_points": loss_cfg.num_points,
                 "losses": [], "step_secs": [], "events": [],
-                "compile_secs": None, "resume_verified": False}
+                "compile_secs": None, "resume_verified": None}
     start_step = 0
     if args.resume and os.path.exists(prog_path):
         with open(prog_path) as f:
@@ -239,6 +239,8 @@ def main():
         "loss_last_quarter_mean": round(last_q, 4),
         "loss_trending_down": bool(last_q < first_q),
         "all_finite": True,
+        # None = the mid-soak ckpt check did not run in THIS process (e.g.
+        # a --resume past the ckpt step); only an explicit False is a failure
         "mid_soak_ckpt_resume_bit_equal": progress["resume_verified"],
         "events": progress["events"],
         "wall_secs": round(time.time() - t_start, 1),
