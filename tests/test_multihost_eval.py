@@ -22,6 +22,16 @@ from occformer_tpu.parallel.mesh import host_allreduce_sum
 import tiny_cfg
 
 
+# see test_multihost_train.py: persistent-cache reads segfault after the
+# backend teardown/re-init these modules perform — run cache-less
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    old = jax.config.values.get("jax_compilation_cache_dir")
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 def _make_batches(n=5):
     batches = []
     for i in range(n):

@@ -21,6 +21,17 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Persistent-cache reads SEGFAULT after this module's backend
+# teardown/re-init dance (deterministic at suite position, passes in
+# isolation; jax compilation_cache.get_executable_and_time, 2026-08-20)
+# — run these modules cache-less.
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    old = jax.config.values.get("jax_compilation_cache_dir")
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
 from occformer_tpu.data.loader import ShardedLoader
 from occformer_tpu.engine.optim import build_optimizer, step_lr_schedule
 from occformer_tpu.engine.train import (
